@@ -1,0 +1,74 @@
+"""ASPP head (Atrous Spatial Pyramid Pooling), flax/NHWC.
+
+Capability parity with reference ``deeplab/deeplabv3_encoder.py:10-86``:
+five parallel branches — global-pool→1×1→BN→ReLU→broadcast, a 1×1 branch,
+and three 3×3 atrous branches (rates per encoder: 6/12/18 for RGB,
+2/3/7 for depth) — concatenated (5×depth channels) into a 3×3 bottleneck
+→ BN → PReLU. The pooled branch's ``align_corners=True`` bilinear upsample
+(reference ``:61``) is a constant broadcast since the source is 1×1.
+
+On TPU the five branches are independent convs over the same input; XLA
+fuses the elementwise BN/ReLU tails into the conv epilogues.
+"""
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cosnet_tpu.nn.init import conv_kernel_init, make_conv_bias_init
+from cosnet_tpu.nn.resnet import _bn, _conv
+
+
+def _biased_conv(features, kernel, in_ch, dilation=1, padding=0, name=None, dtype=jnp.float32):
+    """Conv with torch-default bias init (reference leaves conv biases at default)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(1, 1),
+        padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=True,
+        kernel_init=conv_kernel_init,
+        bias_init=make_conv_bias_init(kernel, kernel, in_ch),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ASPP(nn.Module):
+    input_channels: int = 2048
+    output_channels: int = 256
+    depth: int = 512
+    dilations: Sequence[int] = (6, 12, 18)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        n, h, w, _ = x.shape
+        ra = not train
+
+        # Branch 0: image-level pooling (reference :57-61).
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)  # [N,1,1,Cin]
+        pooled = _biased_conv(self.depth, 1, self.input_channels, name="conv", dtype=self.dtype)(pooled)
+        pooled = _bn("bn_x", self.dtype)(pooled, use_running_average=ra)
+        pooled = nn.relu(pooled)
+        pooled = jnp.broadcast_to(pooled, (n, h, w, self.depth))
+
+        # Branch 1: 1x1 (reference :63-65).
+        out0 = _biased_conv(self.depth, 1, self.input_channels, name="conv2d_0", dtype=self.dtype)(x)
+        out0 = _bn("bn_0", self.dtype)(out0, use_running_average=ra)
+        out0 = nn.relu(out0)
+
+        # Branches 2-4: 3x3 atrous (reference :67-77).
+        atrous = []
+        for i, d in enumerate(self.dilations):
+            o = _biased_conv(self.depth, 3, self.input_channels, dilation=d, padding=d, name=f"conv2d_{i+1}", dtype=self.dtype)(x)
+            o = _bn(f"bn_{i+1}", self.dtype)(o, use_running_average=ra)
+            atrous.append(nn.relu(o))
+
+        out = jnp.concatenate([pooled, out0, *atrous], axis=-1)  # [N,H,W,5*depth]
+        out = _biased_conv(self.output_channels, 3, self.depth * 5, padding=1, name="bottleneck", dtype=self.dtype)(out)
+        out = _bn("bn", self.dtype)(out, use_running_average=ra)
+        # PReLU with torch-default single shared 0.25 slope (reference :33,82).
+        out = nn.PReLU(negative_slope_init=0.25, name="prelu")(out)
+        return out
