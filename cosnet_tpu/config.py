@@ -1,0 +1,124 @@
+"""Typed configuration with the reference's ``config.yaml`` contract.
+
+The reference loads a global YAML at import time with unsafe ``yaml.load``
+(``train.py:6-8``, ``test.py:7-9``) and merges it into argparse args
+(``train.py:142-157``, ``test.py:86-137``). Here the same key schema is
+loaded safely into typed dataclasses, with the same precedence
+(CLI flag defaults ← config values), so a reference ``config.yaml`` works
+verbatim.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+def load_yaml(path: str = "config.yaml") -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _parse_hw(s: str) -> Tuple[int, int]:
+    a, b = map(int, str(s).replace(" ", "").split(","))
+    return a, b
+
+
+@dataclasses.dataclass
+class TrainDatasetConfig:
+    name: str
+    data_path: str
+    batch_size: int
+    max_epoches: int
+    num_classes: int
+    img_mean: List[float]
+    output_HW: Tuple[int, int]
+    checkpoint_file: Any  # path or False (reference config.yaml:85)
+    subset: Optional[Dict[str, List[str]]]
+    ignore_label: int = 255
+
+    @classmethod
+    def from_config(cls, cfg: dict, dataset: str) -> "TrainDatasetConfig":
+        d = cfg["train"]["dataset"][dataset]
+        return cls(
+            name=dataset,
+            data_path=d["data_path"],
+            batch_size=int(d["batch_size"]),
+            max_epoches=int(d["max_epoches"]),
+            num_classes=int(d["num_classes"]),
+            img_mean=[float(v) for v in d["img_mean"]],
+            output_HW=_parse_hw(d["output_HW"]),
+            checkpoint_file=d.get("checkpoint_file"),
+            subset=d.get("subset"),
+            ignore_label=int(d.get("ignore_label", 255)),
+        )
+
+
+@dataclasses.dataclass
+class TestDatasetConfig:
+    name: str
+    data_path: str
+    sample_range: int
+    image_HW_4_model: Tuple[int, int]
+    output_WH: Tuple[int, int]
+    subset: Optional[Dict[str, List[str]]]
+
+    @classmethod
+    def from_config(cls, cfg: dict, dataset: str) -> "TestDatasetConfig":
+        d = cfg["test"]["dataset"][dataset]
+        return cls(
+            name=dataset,
+            data_path=d["data_path"],
+            sample_range=int(d["sample_range"]),
+            image_HW_4_model=_parse_hw(d["image_HW_4_model"]),
+            output_WH=_parse_hw(d["output_WH"]),
+            subset=d.get("subset"),
+        )
+
+
+# Model registry: abbreviation -> full name (reference train.py:116-139,
+# test.py:180-206).
+MODEL_ABBREVIATIONS = {
+    "ori": "original_coattention_rgb",
+    "original_coattention_rgb": "original_coattention_rgb",
+    "retrain": "original_coattention_rgb_retrained",
+    "original_coattention_rgb_retrained": "original_coattention_rgb_retrained",
+    "raa": "resnet_aspp_add",
+    "resnet_aspp_add": "resnet_aspp_add",
+    "ref": "refactored_coattention_rgb",
+    "refactored_coattention_rgb": "refactored_coattention_rgb",
+    "add": "added_depth_rgbd",
+    "added_depth_rgbd": "added_depth_rgbd",
+    "conc1": "concatenated_depth_rgbd",
+    "concatenated_depth_rgbd": "concatenated_depth_rgbd",
+    "conc2": "concatenated_depth_rgbd2",
+    "concatenated_depth_rgbd2": "concatenated_depth_rgbd2",
+    "padd": "post_added_depth_rgbd",
+    "post_added_depth_rgbd": "post_added_depth_rgbd",
+    "conv_add": "convs_depth_addition",
+    "convs_depth_addition": "convs_depth_addition",
+    "conv_conc2": "convs_depth_concatenation2",
+    "convs_depth_concatenation2": "convs_depth_concatenation2",
+}
+
+
+def full_model_name(abbr: str) -> str:
+    if abbr not in MODEL_ABBREVIATIONS:
+        raise ValueError(f"{abbr!r}: Invalid model name!")
+    return MODEL_ABBREVIATIONS[abbr]
+
+
+def train_initial_params(cfg: dict, full_name: str) -> Optional[str]:
+    return cfg["train"]["model"].get(full_name, {}).get("initial_params")
+
+
+def test_pretrained_params(cfg: dict, full_name: str) -> Optional[str]:
+    return cfg["test"]["model"].get(full_name, {}).get("pretrained_params")
+
+
+def resolve_device_request(gpus: str) -> List[int]:
+    """The reference's ``--gpus`` flag maps to TPU device indices here
+    (``CUDA_VISIBLE_DEVICES`` semantics, train.py:423)."""
+    return [int(g) for g in str(gpus).split(",") if g != ""]

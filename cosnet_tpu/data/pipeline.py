@@ -1,0 +1,111 @@
+"""Batching + device-feed pipeline.
+
+The reference uses a single-threaded torch DataLoader with ``num_workers=0``
+(the CPU data path blocks the GPU, ``train.py:531,534`` — SURVEY.md §3.1).
+Here the host side is a thread-pooled batch loader and the device side is a
+double-buffered prefetcher: batch N+1 is decoded and transferred while the
+TPU computes on batch N, so steady-state step time is max(compute, input)
+instead of their sum.
+"""
+from __future__ import annotations
+
+import collections
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples: list) -> dict:
+    """Stack a list of sample dicts into one batch dict (numpy)."""
+    batch = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals  # seq_name / frame_index stay as lists
+    return batch
+
+
+class BatchLoader:
+    """Iterates a dataset in batches; mirrors the reference's loop contract:
+    ``next_batch()`` is invoked before each batch (train.py:562-563) so the
+    per-batch crop/scale augmentation ratios are redrawn."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        seed: Optional[int] = None,
+        num_workers: int = 4,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(order) // self.batch_size
+        if not self.drop_last and len(order) % self.batch_size:
+            n_batches += 1
+
+        def load_batch(bi):
+            idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            if hasattr(self.dataset, "next_batch"):
+                self.dataset.next_batch()
+            return collate([self.dataset[i] for i in idxs])
+
+        if self.num_workers <= 1:
+            for bi in range(n_batches):
+                yield load_batch(bi)
+            return
+
+        # Pipeline batches through a small thread pool, preserving order.
+        # (Augmentation ratio state is per-batch; workers each call
+        # next_batch() so ratios are drawn per batch as in the reference.)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = collections.deque()
+            depth = self.num_workers
+            for bi in range(min(depth, n_batches)):
+                pending.append(pool.submit(load_batch, bi))
+            next_submit = depth
+            while pending:
+                fut = pending.popleft()
+                if next_submit < n_batches:
+                    pending.append(pool.submit(load_batch, next_submit))
+                    next_submit += 1
+                yield fut.result()
+
+
+def device_prefetch(iterator: Iterator[dict], size: int = 2) -> Iterator[dict]:
+    """Double-buffered device transfer: keep ``size`` batches in flight on
+    the accelerator while the current one computes."""
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            out[k] = jax.device_put(v) if isinstance(v, np.ndarray) else v
+        return out
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

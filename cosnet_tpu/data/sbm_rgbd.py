@@ -1,0 +1,276 @@
+"""SBM-RGBD dataset: manifest scan, ROI masking, frame loading, pair sampling.
+
+Capability parity with ``dataloaders/sbm_rgbd_loader.py`` (SURVEY.md §2):
+
+* directory walk ``<root>/<challenge>/<seq>/{input,depth,groundtruth}``
+  pairing frames by ground-truth id (``in%s.png``/``d%s.png``/``gt%s.png``,
+  ``:393-468``);
+* per-sequence ROI from ``ROI.bmp`` via the center-out boundary scan,
+  applied as an inclusive crop before resize (``:432-438``, ``:604-663``);
+* per-frame load: BGR − mean → ROI crop → resize → (train) synchronized
+  crop/scale/flip augmentation; depth grayscale float; gt binarized {0,1}
+  with nearest resize;
+* pair-sampling protocol: target frame + ``sample_range`` random counterpart
+  frames from the same sequence; ``sample_range < 1`` self-pairs
+  (``:556-574``);
+* ``__len__`` truncates to a batch multiple (``:581-588``, quirk preserved);
+* depth/gt validation heuristics (``__validate_frame``, ``:294-338``);
+* debug image dumps re-rendering what the network sees (``:671-694``).
+
+Layout: arrays are returned **HWC** (rgb [H,W,3], depth [H,W,1], gt [H,W])
+— the TPU-native layout; the reference returns CHW.
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from cosnet_tpu.data.augment import augment_frame
+from cosnet_tpu.data.manifest import FrameIndex, FrameRecord, split_index
+from cosnet_tpu.data.roi import Boundary, crop_to_roi, find_roi
+
+ROI_FILE_NAME = "ROI.bmp"
+FOLDERS = {"rgb": "input", "depth": "depth", "gt": "groundtruth"}
+PREFIX = {"rgb": "in", "depth": "d", "gt": "gt"}
+
+
+class SbmRgbdDataset:
+    def __init__(
+        self,
+        dataset_root: str,
+        sample_range: int,
+        output_HW: Optional[Tuple[int, int]] = None,
+        channels_for_target_frame: str = "rgbdt",
+        channels_for_counterpart_frame: str = "rgbdt",
+        for_training: bool = True,
+        batch_size: int = 1,
+        subset_percentage: float = 0.8,
+        subset: Optional[Dict[str, List[str]]] = None,
+        meanval=(104.00699, 116.66877, 122.67892),
+        seed: Optional[int] = None,
+        static_shapes: bool = True,
+        log_func=None,
+        output_dir_for_debug: Optional[str] = None,
+    ):
+        self.dataset_root = dataset_root
+        self.sample_range = sample_range
+        self.output_HW = tuple(output_HW) if output_HW else None
+        self.channels_for_target_frame = channels_for_target_frame
+        self.channels_for_counterpart_frame = channels_for_counterpart_frame
+        self.for_training = for_training
+        self.batch_size = batch_size
+        self.meanval = np.array(meanval, dtype=np.float32)
+        self.static_shapes = static_shapes
+        self.log_func = log_func
+        self.output_dir_for_debug = output_dir_for_debug
+
+        self.rng = random.Random(seed) if seed is not None else random.Random()
+        self.roi: Dict[str, Boundary] = {}
+        self.flip_prob_of_seqs: Dict[str, float] = {}
+        self._scale_ratio = 0.9  # reference defaults (:246-247)
+        self._crop_ratio = 0.9
+
+        self.entire = self._collect_file_list()
+        self.index = split_index(self.entire, subset, subset_percentage, for_training, self.rng)
+
+    # -- manifest -----------------------------------------------------------
+
+    def _collect_file_list(self) -> FrameIndex:
+        entire = FrameIndex()
+        for challenge in sorted(os.listdir(self.dataset_root)):
+            cpath = os.path.join(self.dataset_root, challenge)
+            if not os.path.isdir(cpath):
+                continue
+            for seq_dir in sorted(os.listdir(cpath)):
+                seq = os.path.join(challenge, seq_dir)
+                listing = {}
+                for kind, folder in FOLDERS.items():
+                    p = os.path.join(self.dataset_root, seq, folder)
+                    if not os.path.isdir(p):
+                        listing = None
+                        break
+                    listing[kind] = set(os.listdir(p))
+                if listing is None:
+                    continue
+
+                roi_path = os.path.join(self.dataset_root, seq, ROI_FILE_NAME)
+                roi_img = cv2.imread(roi_path, cv2.IMREAD_GRAYSCALE)
+                if roi_img is not None:
+                    self.roi[seq] = find_roi(roi_img)
+
+                frames = []
+                for gt_name in sorted(listing["gt"]):
+                    if not gt_name.endswith(".png"):
+                        continue
+                    frame_id = gt_name[2:-4]  # gtXXXXXX.png -> XXXXXX
+                    rgb_name = f"in{frame_id}.png"
+                    depth_name = f"d{frame_id}.png"
+                    if rgb_name in listing["rgb"] and depth_name in listing["depth"]:
+                        frames.append(FrameRecord(seq, frame_id, rgb_name, depth_name, gt_name))
+                if frames:
+                    entire.add_sequence(seq, frames)
+        return entire
+
+    def _path(self, kind: str, frame: FrameRecord) -> str:
+        name = {"rgb": frame.rgb_name, "depth": frame.depth_name, "gt": frame.gt_name}[kind]
+        return os.path.join(self.dataset_root, frame.seq_name, FOLDERS[kind], name)
+
+    # -- loading ------------------------------------------------------------
+
+    def _log(self, msg: str):
+        if self.log_func:
+            self.log_func(msg)
+
+    def load_frame(self, frame: FrameRecord, channels: str = "rgbdt"):
+        """Returns (rgb [H,W,3] f32, depth [H,W,1] f32, gt [H,W] u8)."""
+        roi = self.roi.get(frame.seq_name)
+        out_hw = self.output_HW
+        train = self.for_training
+        offset = None
+        rgb = depth = gt = None
+
+        if train:
+            flip_p = self.flip_prob_of_seqs.setdefault(frame.seq_name, self.rng.uniform(0, 1))
+            static = out_hw if self.static_shapes else None
+
+        if "rgb" in channels:
+            img = cv2.imread(self._path("rgb", frame), cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(self._path("rgb", frame))
+            img = img.astype(np.float32) - self.meanval  # BGR − mean (:609)
+            img = np.stack([crop_to_roi(img[:, :, i], roi) for i in range(3)], axis=-1)
+            if out_hw is not None:
+                img = cv2.resize(img, (out_hw[1], out_hw[0]))
+            if train:
+                img, offset = augment_frame(
+                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
+                )
+            rgb = np.ascontiguousarray(img, dtype=np.float32)
+        else:
+            rgb = np.zeros((1, 1, 3), dtype=np.float32)
+
+        if "d" in channels:
+            img = cv2.imread(self._path("depth", frame), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise FileNotFoundError(self._path("depth", frame))
+            img = crop_to_roi(img.astype(np.float32), roi)
+            if out_hw is not None:
+                img = cv2.resize(img, (out_hw[1], out_hw[0]))
+            if train:
+                img, offset = augment_frame(
+                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
+                )
+            depth = np.ascontiguousarray(img, dtype=np.float32)[:, :, None]
+        else:
+            depth = np.zeros((1, 1, 1), dtype=np.float32)
+
+        if "t" in channels:
+            img = cv2.imread(self._path("gt", frame), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise FileNotFoundError(self._path("gt", frame))
+            img = (img != 0).astype(np.uint8)
+            img = crop_to_roi(img, roi)
+            if out_hw is not None:
+                img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+            if train:
+                img, offset = augment_frame(
+                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static
+                )
+            gt = np.ascontiguousarray(img, dtype=np.uint8)
+        else:
+            gt = np.zeros((1, 1), dtype=np.uint8)
+
+        if self.output_dir_for_debug:
+            self._debug_dump(frame, rgb, depth, gt, channels)
+        return rgb, depth, gt
+
+    def _debug_dump(self, frame, rgb, depth, gt, channels):
+        from PIL import Image
+
+        save_dir = os.path.join(self.output_dir_for_debug, frame.seq_name)
+        os.makedirs(save_dir, exist_ok=True)
+        if "rgb" in channels:
+            Image.fromarray(np.uint8(rgb + self.meanval), "RGB").save(
+                os.path.join(save_dir, f"{frame.rgb_name}.png")
+            )
+        if "d" in channels:
+            Image.fromarray(np.uint8(depth[:, :, 0]), "L").save(
+                os.path.join(save_dir, f"{frame.depth_name}.png")
+            )
+        if "t" in channels:
+            Image.fromarray(np.uint8(gt * 255), "L").save(
+                os.path.join(save_dir, f"{frame.gt_name}.png")
+            )
+
+    # -- dataset protocol ---------------------------------------------------
+
+    def __len__(self):
+        n = len(self.index)
+        if self.batch_size and n % self.batch_size != 0:
+            n -= n % self.batch_size  # reference truncation quirk (:581-588)
+        return n
+
+    def __getitem__(self, frame_index: int):
+        frame = self.index.frames[frame_index]
+        sample = {"seq_name": frame.seq_name, "frame_index": frame.frame_id}
+        rgb, depth, gt = self.load_frame(frame, self.channels_for_target_frame)
+        sample["target"], sample["target_depth"], sample["target_gt"] = rgb, depth, gt
+
+        lo, hi = self.index.ranges[frame.seq_name]
+        if self.sample_range >= 1:
+            candidates = list(range(lo, hi))
+            picks = self.rng.sample(candidates, self.sample_range)
+        else:
+            picks = [frame_index]  # self-pair (:562-563)
+        for i, idx in enumerate(picks):
+            cp = self.index.frames[idx]
+            c_rgb, c_depth, c_gt = self.load_frame(cp, self.channels_for_counterpart_frame)
+            sample[f"search_{i}"] = c_rgb
+            sample[f"search_{i}_depth"] = c_depth
+            sample[f"search_{i}_gt"] = c_gt
+        return sample
+
+    def next_batch(self):
+        """Redraw per-batch crop/scale ratios (reference :700-703)."""
+        self._scale_ratio = self.rng.uniform(0.7, 1.3)
+        self._crop_ratio = self.rng.uniform(0.8, 1.0)
+
+    def new_training_epoch(self):
+        self.flip_prob_of_seqs.clear()
+
+    # -- validation heuristics (reference :294-338) -------------------------
+
+    def validate_frame(self, frame: FrameRecord, channels: str = "dt") -> dict:
+        """Flag empty/noisy/flat depth maps and degenerate GT masks."""
+        was_training = self.for_training
+        self.for_training = False
+        try:
+            _, depth, gt = self.load_frame(frame, channels)
+        finally:
+            self.for_training = was_training
+        depth = depth[:, :, 0]
+        result = {"depth": [None, None, None], "gt": [None]}
+
+        if "t" in channels:
+            nz = np.count_nonzero(gt) / gt.size
+            if nz < 0.01 or nz > 0.9:
+                result["gt"][0] = nz
+
+        if "d" in channels:
+            nz = np.count_nonzero(depth) / depth.size
+            if nz < 0.1:
+                result["depth"][0] = nz
+            dmin, dmax = float(depth.min()), float(depth.max())
+            bins = int(dmax - dmin)
+            if bins > 0:
+                hist, _ = np.histogram(depth, bins)
+                frac = hist.min() / max(hist.sum(), 1)
+                if frac <= 0.0005:
+                    result["depth"][1] = frac
+            if dmax - dmin < 20:
+                result["depth"][2] = dmax - dmin
+        return result

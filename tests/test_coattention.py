@@ -1,0 +1,87 @@
+"""Co-attention core: einsum reference vs numpy transcription vs Pallas kernel."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cosnet_tpu.nn.coattention import coattention_einsum
+from cosnet_tpu.ops.coattention_pallas import coattention_pallas, flash_xattn
+
+
+def _numpy_reference(va, vb, w):
+    """Literal numpy transcription of rgbd_segmentation_RAA.py:150-176."""
+    n, h, wd, c = va.shape
+    a_flat = va.reshape(n, h * wd, c).transpose(0, 2, 1)  # [N, C, HW] (torch layout)
+    b_flat = vb.reshape(n, h * wd, c).transpose(0, 2, 1)
+    a_t = a_flat.transpose(0, 2, 1) @ w.T  # torch Linear: x @ W.T; here w is torch [out,in]
+    s = a_t @ b_flat  # [N, HW, HW]
+
+    def softmax(x, axis):
+        e = np.exp(x - x.max(axis=axis, keepdims=True))
+        return e / e.sum(axis=axis, keepdims=True)
+
+    s_row = softmax(s, axis=1)
+    s_col = softmax(s.transpose(0, 2, 1), axis=1)
+    z_b = a_flat @ s_row  # [N, C, HW]
+    z_a = b_flat @ s_col
+    return (
+        z_a.transpose(0, 2, 1).reshape(n, h, wd, c),
+        z_b.transpose(0, 2, 1).reshape(n, h, wd, c),
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    va = rng.standard_normal((2, 5, 7, 32), dtype=np.float32)
+    vb = rng.standard_normal((2, 5, 7, 32), dtype=np.float32)
+    w_torch = rng.standard_normal((32, 32), dtype=np.float32) * 0.1  # torch [out,in]
+    return va, vb, w_torch
+
+
+def test_einsum_matches_numpy_transcription(data):
+    va, vb, w_torch = data
+    want_za, want_zb = _numpy_reference(va, vb, w_torch)
+    got_za, got_zb = coattention_einsum(jnp.asarray(va), jnp.asarray(vb), jnp.asarray(w_torch.T))
+    np.testing.assert_allclose(np.asarray(got_za), want_za, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_zb), want_zb, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matches_einsum(data):
+    va, vb, w_torch = data
+    kern = jnp.asarray(w_torch.T)
+    want_za, want_zb = coattention_einsum(jnp.asarray(va), jnp.asarray(vb), kern)
+    got_za, got_zb = coattention_pallas(jnp.asarray(va), jnp.asarray(vb), kern)
+    np.testing.assert_allclose(np.asarray(got_za), np.asarray(want_za), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_zb), np.asarray(want_zb), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("lq,lk,c", [(100, 100, 32), (1271, 1271, 64), (37, 530, 128)])
+def test_flash_xattn_ragged_shapes(lq, lk, c):
+    """Non-tile-aligned lengths (HW = h*w is never a power of two)."""
+    rng = np.random.default_rng(lq)
+    q = jnp.asarray(rng.standard_normal((1, lq, c), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, lk, c), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, lk, c), dtype=np.float32))
+    got = np.asarray(flash_xattn(q, k, v, block_q=256, block_k=256))
+    want = np.asarray(jax.nn.softmax(q @ k.transpose(0, 2, 1), axis=-1) @ v)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gradients_match_einsum(data):
+    va, vb, w_torch = data
+    kern = jnp.asarray(w_torch.T)
+
+    def loss_p(va_, vb_, k_):
+        za, zb = coattention_pallas(va_, vb_, k_)
+        return jnp.sum(za * 0.3 + zb * 0.7)
+
+    def loss_e(va_, vb_, k_):
+        za, zb = coattention_einsum(va_, vb_, k_)
+        return jnp.sum(za * 0.3 + zb * 0.7)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(jnp.asarray(va), jnp.asarray(vb), kern)
+    ge = jax.grad(loss_e, argnums=(0, 1, 2))(jnp.asarray(va), jnp.asarray(vb), kern)
+    for p, e in zip(gp, ge):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(e), rtol=1e-5, atol=1e-5)
