@@ -218,7 +218,13 @@ class HzfuRgbdDataset:
 
         lo, hi = self.index.ranges[frame.seq_name]
         if self.sample_range >= 1:
-            picks = self.rng.sample(list(range(lo, hi)), self.sample_range)
+            candidates = list(range(lo, hi))
+            if self.sample_range <= len(candidates):
+                picks = self.rng.sample(candidates, self.sample_range)
+            else:
+                # Sequence shorter than sample_range: sample with replacement
+                # (the reference's random.sample would raise here).
+                picks = self.rng.choices(candidates, k=self.sample_range)
         else:
             picks = [frame_index]
         for i, idx in enumerate(picks):

@@ -223,7 +223,12 @@ class SbmRgbdDataset:
         lo, hi = self.index.ranges[frame.seq_name]
         if self.sample_range >= 1:
             candidates = list(range(lo, hi))
-            picks = self.rng.sample(candidates, self.sample_range)
+            if self.sample_range <= len(candidates):
+                picks = self.rng.sample(candidates, self.sample_range)
+            else:
+                # Sequence shorter than sample_range: sample with replacement
+                # (the reference's random.sample would raise here).
+                picks = self.rng.choices(candidates, k=self.sample_range)
         else:
             picks = [frame_index]  # self-pair (:562-563)
         for i, idx in enumerate(picks):

@@ -1,0 +1,102 @@
+"""Model registry — reference ``create_model`` contract (train.py:377-396).
+
+The canonical, fully-specified model is ``resnet_aspp_add`` (raa). The RGB-only
+co-attention variants (``ori``/``ref``) and the depth-fusion ablations are
+re-derived from the raa structure (their source files are absent from the
+reference snapshot — SURVEY.md §0 "Important gap"); see
+cosnet_tpu/nn/cosnet.py and cosnet_tpu/nn/rgbd_variants.py.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cosnet_tpu.nn.raa import RGBDSegmentationRAA
+from cosnet_tpu.nn.resnet import Bottleneck
+
+
+def create_model(full_name: str, coattention_backend: str = "einsum", dtype=jnp.float32):
+    if full_name == "resnet_aspp_add":
+        return RGBDSegmentationRAA(
+            block=Bottleneck,
+            num_blocks_rgb=(3, 4, 23, 3),
+            num_blocks_depth=(3, 4, 6, 3),
+            num_classes=1,
+            coattention_backend=coattention_backend,
+            dtype=dtype,
+        )
+    if full_name in ("original_coattention_rgb", "original_coattention_rgb_retrained", "refactored_coattention_rgb"):
+        from cosnet_tpu.nn.cosnet import CoattentionSiameseNet
+
+        return CoattentionSiameseNet(
+            block=Bottleneck,
+            num_blocks=(3, 4, 23, 3),
+            num_classes=1,
+            coattention_backend=coattention_backend,
+            dtype=dtype,
+        )
+    if full_name in (
+        "added_depth_rgbd",
+        "concatenated_depth_rgbd",
+        "concatenated_depth_rgbd2",
+        "post_added_depth_rgbd",
+        "convs_depth_addition",
+        "convs_depth_concatenation2",
+    ):
+        from cosnet_tpu.nn.rgbd_variants import RGBDSegmentationModel
+
+        approach = {
+            "added_depth_rgbd": "add",
+            "concatenated_depth_rgbd": "conc1",
+            "concatenated_depth_rgbd2": "conc2",
+            "post_added_depth_rgbd": "padd",
+            "convs_depth_addition": "conv_add",
+            "convs_depth_concatenation2": "conv_conc2",
+        }[full_name]
+        return RGBDSegmentationModel(
+            block=Bottleneck,
+            num_blocks_rgb=(3, 4, 23, 3),
+            num_blocks_depth=(3, 4, 6, 3),
+            num_classes=1,
+            approach_for_depth=approach,
+            coattention_backend=coattention_backend,
+            dtype=dtype,
+        )
+    raise ValueError(f"{full_name!r}: Invalid model name!")
+
+
+def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0, on_cpu: bool = True):
+    """Initialize model variables. Runs on the CPU backend by default — a
+    full init on the tunneled TPU compiles every op eagerly (minutes); see
+    .claude/skills/verify/SKILL.md. Init is shape-polymorphic (the model is
+    fully convolutional), so a small dummy spatial size suffices."""
+    import jax
+
+    rgb = jnp.zeros((1, *hw, 3), jnp.float32)
+    d = jnp.zeros((1, *hw, 1), jnp.float32)
+    args = [rgb, rgb, d, d][: max(n_inputs, 2)]
+
+    # The co-attention backend has no parameters, so init through the einsum
+    # path — the pallas kernel cannot trace on the CPU backend.
+    init_model = model
+    if getattr(model, "coattention_backend", "einsum") != "einsum":
+        init_model = model.clone(coattention_backend="einsum")
+
+    def do_init():
+        return init_model.init(jax.random.key(seed), *args, train=False)
+
+    if on_cpu:
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                return do_init()
+        except RuntimeError:
+            pass
+    return do_init()
+
+
+def model_input_signature(full_name: str) -> int:
+    """Number of image inputs the model's __call__ takes (test.py:291-297)."""
+    if full_name == "resnet_aspp_add":
+        return 4  # rgb_a, rgb_b, depth_a, depth_b
+    if full_name in ("original_coattention_rgb", "original_coattention_rgb_retrained", "refactored_coattention_rgb"):
+        return 2  # rgb_a, rgb_b
+    return 3  # rgb_a, rgb_b, depth_a

@@ -32,7 +32,8 @@ def max_pool_ceil(x: jax.Array, kernel: int = 3, stride: int = 2, padding: int =
     # Right/bottom padding so the last VALID window lands where torch's does.
     pad_h_hi = (out_h - 1) * stride - padding + kernel - h
     pad_w_hi = (out_w - 1) * stride - padding + kernel - w
-    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so JAX recognizes the max-reduce and provides a VJP.
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg_inf,

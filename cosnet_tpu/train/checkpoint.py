@@ -1,0 +1,81 @@
+"""Checkpoint save/restore — orbax native + reference ``.pth`` contract.
+
+Reference contract (SURVEY.md §5.4): per-epoch ``torch.save({"epoch": e+1,
+"model": state_dict})`` (``train.py:624-626``); resume restores epoch +
+weights but **not** optimizer momentum (``train.py:501-508``) — preserved by
+default, with ``restore_momentum=True`` available as an improvement.
+
+Native checkpoints are orbax (full state incl. momentum); ``.pth``-schema
+snapshots are emitted alongside for drop-in compatibility with the
+reference's ``test.py``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cosnet_tpu.utils.torch_import import (
+    load_pth,
+    merge_variables,
+    save_pth,
+    state_dict_to_variables,
+)
+
+
+def save_epoch(snapshot_dir: str, dataset: str, epoch: int, state, pth: bool = True):
+    """Write both the orbax checkpoint and the reference-contract .pth."""
+    host_state = jax.tree.map(np.asarray, {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "momentum": state.momentum,
+    })
+    ckpt_path = os.path.abspath(os.path.join(snapshot_dir, f"orbax_{dataset}_{epoch}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_path, {"state": host_state, "epoch": np.asarray(epoch + 1)})
+    if pth:
+        # Same filename pattern as the reference: snapshot_<ds>_<epoch>.pth
+        save_pth(
+            os.path.join(snapshot_dir, f"snapshot_{dataset}_{epoch}.pth"),
+            {"params": host_state["params"], "batch_stats": host_state["batch_stats"]},
+            epoch + 1,
+        )
+
+
+def restore(path: str, state, restore_momentum: bool = False):
+    """Restore from an orbax dir or a .pth file into an existing TrainState.
+
+    Returns (state, start_epoch).
+    """
+    if path.endswith(".pth") or os.path.isfile(path):
+        ckpt = load_pth(path)
+        imported = state_dict_to_variables(ckpt["model"])
+        params = merge_variables(jax.tree.map(np.asarray, state.params), imported["params"])
+        stats = merge_variables(jax.tree.map(np.asarray, state.batch_stats), imported["batch_stats"])
+        state = state.replace(
+            params=jax.tree.map(jax.numpy.asarray, params),
+            batch_stats=jax.tree.map(jax.numpy.asarray, stats),
+        )
+        return state, int(ckpt.get("epoch", 0))
+
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {
+            "state": jax.tree.map(np.asarray, {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "momentum": state.momentum,
+            }),
+            "epoch": np.asarray(0),
+        }
+        restored = ckptr.restore(os.path.abspath(path), target)
+    st = restored["state"]
+    state = state.replace(
+        params=jax.tree.map(jax.numpy.asarray, st["params"]),
+        batch_stats=jax.tree.map(jax.numpy.asarray, st["batch_stats"]),
+    )
+    if restore_momentum:
+        state = state.replace(momentum=jax.tree.map(jax.numpy.asarray, st["momentum"]))
+    return state, int(restored["epoch"])

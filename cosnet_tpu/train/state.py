@@ -1,0 +1,72 @@
+"""Train state + jitted train step factory."""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from cosnet_tpu.train.losses import segmentation_pair_loss
+from cosnet_tpu.train.optim import GroupedSGD, group_multipliers
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    momentum: Any
+    multipliers: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables: dict, optimizer: GroupedSGD) -> "TrainState":
+        params = variables["params"]
+        return cls(
+            params=params,
+            batch_stats=variables["batch_stats"],
+            momentum=optimizer.init(params),
+            multipliers=group_multipliers(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_train_step(model, optimizer: GroupedSGD, ignore_counterpart_loss: bool = False) -> Callable:
+    """Build the jit-able train step: forward (train mode, BN stats mutate) →
+    dual-branch weighted-BCE+L1 loss → grads → grouped SGD update.
+
+    The step is pure; data-parallel execution comes from jitting it under a
+    Mesh with the batch sharded on the 'data' axis (see cosnet_tpu/parallel).
+    """
+
+    def train_step(state: TrainState, batch: dict, lr):
+        def loss_fn(params):
+            (x1, x2, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["target"],
+                batch["search_0"],
+                batch["target_depth"],
+                batch["search_0_depth"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            gt1 = batch["target_gt"][..., None].astype(jnp.float32)
+            if ignore_counterpart_loss:
+                loss = segmentation_pair_loss(x1, gt1)
+            else:
+                gt2 = batch["search_0_gt"][..., None].astype(jnp.float32)
+                loss = segmentation_pair_loss(x1, gt1, x2, gt2)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_params, new_mom = optimizer.update(grads, state.momentum, state.params, lr, state.multipliers)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs, momentum=new_mom, step=state.step + 1
+        )
+        return new_state, loss
+
+    return train_step

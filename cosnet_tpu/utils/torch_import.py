@@ -189,3 +189,75 @@ def load_pth(path: str) -> dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax variables -> reference-canonical state_dict
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: dict, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+_LAYER_RE = re.compile(r"^(layer[1-4])_(\d+)$")
+
+
+def variables_to_state_dict(variables: dict) -> dict:
+    """Emit a numpy state_dict in the reference's canonical key schema
+    (``encoder.backbone.layer1.0.conv1.weight`` etc.) so snapshots can be
+    loaded by the reference's ``test.py``/``load_state`` unchanged."""
+    out = {}
+    for path, leaf in _flatten(variables.get("params", {})):
+        mods, leafname = list(path[:-1]), path[-1]
+        mods = _torch_module_path(mods)
+        arr = np.asarray(leaf)
+        if leafname == "kernel":
+            if arr.ndim == 4:
+                arr = np.ascontiguousarray(arr.transpose(3, 2, 0, 1))  # HWIO->OIHW
+            elif arr.ndim == 2:
+                arr = np.ascontiguousarray(arr.T)
+            out[".".join(mods + ["weight"])] = arr
+        elif leafname == "scale":
+            out[".".join(mods + ["weight"])] = arr
+        elif leafname == "bias":
+            out[".".join(mods + ["bias"])] = arr
+        elif leafname == "negative_slope":
+            out[".".join(mods + ["weight"])] = arr.reshape(1)
+        elif leafname in ("rgb_similarity_weights", "depth_similarity_weights"):
+            # bare Linear param [in,out] -> torch weight [out,in]
+            out[".".join(mods + [leafname, "weight"])] = np.ascontiguousarray(arr.T)
+        else:
+            out[".".join(mods + [leafname])] = arr
+    for path, leaf in _flatten(variables.get("batch_stats", {})):
+        mods, leafname = list(path[:-1]), path[-1]
+        mods = _torch_module_path(mods)
+        name = {"mean": "running_mean", "var": "running_var"}[leafname]
+        out[".".join(mods + [name])] = np.asarray(leaf)
+    return out
+
+
+def _torch_module_path(mods):
+    out = []
+    for m in mods:
+        match = _LAYER_RE.match(m)
+        if match:
+            out.extend([match.group(1), match.group(2)])
+        elif m == "downsample_conv":
+            out.extend(["downsample", "0"])
+        elif m == "downsample_bn":
+            out.extend(["downsample", "1"])
+        else:
+            out.append(m)
+    return out
+
+
+def save_pth(path: str, variables: dict, epoch: int):
+    """Write the reference snapshot contract {"epoch", "model"} (train.py:624-626)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in variables_to_state_dict(variables).items()}
+    torch.save({"epoch": epoch, "model": sd}, path)

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Evaluation driver — reference CLI contract, TPU-native execution.
+
+Usage matches the reference (``README.md:46``):
+    python test.py --dataset sbmrgbd --model raa --gpus 0
+
+Flow (reference ``test.py:168-344``): config.yaml → model by abbreviation →
+pretrained ``.pth`` load → dataset loader → per frame: average the sigmoid
+masks over ``sample_range`` reference frames — here batched into ONE jitted
+forward (cosnet_tpu/eval/infer.py) instead of a host loop — → resize to
+``output_WH`` → masks×255 uint8 → bitwise soft-IoU per frame (+ F-measure,
+BASELINE.md) → per-sequence mask PNGs → final mean IoU, all in the
+reference's log format.
+"""
+import argparse
+import datetime
+import os
+import time
+
+import numpy as np
+
+
+def get_arguments():
+    parser = argparse.ArgumentParser(description="RGBDCoAttention (TPU)")
+    parser.add_argument("--dataset", type=str, default="sbmrgbd",
+                        help="hzfud, hzfurgb, hzfurgbd, or sbmrgbd")
+    parser.add_argument("--cuda", default=True,
+                        help="Kept for CLI compatibility; device is the TPU.")
+    parser.add_argument("--gpus", type=str, default="0")
+    parser.add_argument("--seq_name", default="bmx-bumps")
+    parser.add_argument("--use_crf", default="True")
+    parser.add_argument("--save_seg_img", default="True")
+    parser.add_argument("--sample_range", default=5)
+    parser.add_argument("--epoches", default=0)
+    parser.add_argument("--batch_size", default=0, type=int)
+    parser.add_argument("--model", default="raa",
+                        help="ori, retrain, ref, raa, add, padd, conv_add, or conc")
+    parser.add_argument("--coattention-backend", default="pallas",
+                        help="pallas | einsum")
+    return parser.parse_args()
+
+
+def main():
+    args = get_arguments()
+    ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from cosnet_tpu import config as cfg
+    from cosnet_tpu.data import BatchLoader, HzfuRgbdDataset, SbmRgbdDataset
+    from cosnet_tpu.eval.infer import build_multi_reference_forward
+    from cosnet_tpu.eval.metrics import compute_iou, f_measure
+    from cosnet_tpu.models import create_model, init_variables, model_input_signature
+    from cosnet_tpu.utils.logging import RunLogger
+    from cosnet_tpu.utils.torch_import import (
+        load_pth, merge_variables, state_dict_to_variables,
+    )
+
+    user_config = cfg.load_yaml("config.yaml")
+    full_name = cfg.full_model_name(args.model)
+    ds_cfg = cfg.TestDatasetConfig.from_config(user_config, args.dataset)
+    batch_size = args.batch_size or 1
+    sample_range = ds_cfg.sample_range  # config wins, as in reference test.py:132
+
+    result_dir = os.path.join(".", "vos_test_results", args.dataset, full_name, ymd_hms)
+    os.makedirs(result_dir, exist_ok=True)
+    logger = RunLogger(os.path.join(result_dir, f"{args.dataset}__{full_name}_{ymd_hms}_test_log.txt"))
+    print("Logs will be written in", result_dir)
+    logger.section(str(vars(args)))
+
+    pretrained = cfg.test_pretrained_params(user_config, full_name)
+    model = create_model(full_name, coattention_backend=args.coattention_backend)
+    n_inputs = model_input_signature(full_name)
+    variables = init_variables(model, n_inputs)
+    if pretrained and os.path.isfile(pretrained):
+        sd = load_pth(pretrained)
+        imported = state_dict_to_variables(sd["model"] if "model" in sd else sd)
+        variables = {
+            "params": merge_variables(variables["params"], imported["params"]),
+            "batch_stats": merge_variables(variables["batch_stats"], imported["batch_stats"]),
+        }
+    else:
+        print(f"!! pretrained params not found at {pretrained!r} — evaluating fresh init")
+    from cosnet_tpu.utils.device import device_materialize
+
+    variables = device_materialize(jax.tree.map(jnp.asarray, variables))
+
+    channels_target = "rgbdt"
+    channels_cp = "rgbd"
+    if args.dataset == "hzfud":
+        channels_target, channels_cp = "dt", "d"
+    elif args.dataset == "hzfurgb":
+        channels_target, channels_cp = "rgbt", "rgb"
+
+    common = dict(
+        sample_range=sample_range,
+        output_HW=ds_cfg.image_HW_4_model,
+        channels_for_target_frame=channels_target,
+        channels_for_counterpart_frame=channels_cp,
+        for_training=False,
+        batch_size=batch_size,
+        subset_percentage=1,
+        subset=ds_cfg.subset,
+    )
+    if args.dataset == "sbmrgbd":
+        db_test = SbmRgbdDataset(ds_cfg.data_path, **common)
+    elif args.dataset in ("hzfud", "hzfurgb", "hzfurgbd"):
+        db_test = HzfuRgbdDataset(ds_cfg.data_path, **common)
+    else:
+        raise SystemExit("dataset error")
+
+    testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=True, drop_last=False)
+    print("======> test set size:", len(testloader))
+
+    output_img_dir = None
+    if args.save_seg_img:
+        output_img_dir = os.path.join(result_dir, "obj_seg_imgs")
+        os.makedirs(output_img_dir, exist_ok=True)
+
+    forward = build_multi_reference_forward(model, n_inputs)
+
+    iou_result, f_result, iou_counter = 0.0, 0.0, 0
+    frames_done, t_start = 0, time.time()
+    latencies = []
+    for index, batch in enumerate(testloader):
+        print("%d processd" % index)
+        b = batch["target"].shape[0]
+        searches = np.stack([batch[f"search_{i}"] for i in range(sample_range)], axis=1)
+        search_depths = np.stack([batch[f"search_{i}_depth"] for i in range(sample_range)], axis=1)
+        t0 = time.time()
+        mask = forward(variables, batch["target"], searches, batch["target_depth"], search_depths)
+        mask = np.asarray(mask)  # [B, H, W, 1]
+        latencies.append((time.time() - t0) / b)
+        frames_done += b
+
+        for idx in range(b):
+            img = cv2.resize(mask[idx, :, :, 0], tuple(ds_cfg.output_WH))
+            mask_u8 = (img * 255).astype(np.uint8)
+            gt = np.array(batch["target_gt"][idx])
+            if gt.shape != mask_u8.shape:
+                # Reference configs keep output_WH == model input size; if a
+                # config diverges, score at output resolution.
+                gt = cv2.resize(gt, tuple(ds_cfg.output_WH), interpolation=cv2.INTER_NEAREST)
+            iou = compute_iou(mask_u8, gt)
+            fm = f_measure(mask_u8, gt)
+            seq, fid = batch["seq_name"][idx], batch["frame_index"][idx]
+            logger.iou_line(seq, fid, iou)
+            logger.write(f"{seq} {fid} F-measure: {fm}\n")
+            iou_result += iou
+            f_result += fm
+            iou_counter += 1
+            if output_img_dir:
+                save_dir = os.path.join(output_img_dir, seq)
+                os.makedirs(save_dir, exist_ok=True)
+                Image.fromarray(mask_u8, mode="L").save(os.path.join(save_dir, f"{fid}.png"))
+
+    if iou_counter:
+        logger.final_iou(iou_result / iou_counter)
+        logger.write(f"final F-measure: {f_result / iou_counter}\n")
+        elapsed = time.time() - t_start
+        logger.write(
+            f"frames: {frames_done}  frames/sec: {frames_done / elapsed:.3f}  "
+            f"p50 latency: {np.percentile(latencies, 50) * 1e3:.1f} ms\n"
+        )
+        print("final IOU:", iou_result / iou_counter, " F:", f_result / iou_counter)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Checkpoint contracts: orbax roundtrip + .pth export loadable by the reference."""
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cosnet_tpu.nn.raa import RGBDSegmentationRAA
+from cosnet_tpu.nn.resnet import Bottleneck
+from cosnet_tpu.train.checkpoint import restore, save_epoch
+from cosnet_tpu.train.optim import GroupedSGD
+from cosnet_tpu.train.state import TrainState
+from cosnet_tpu.utils.torch_import import (
+    load_pth, state_dict_to_variables, variables_to_state_dict,
+)
+from tests._reference import get_reference
+
+BLOCKS = [1, 1, 1, 1]
+
+
+@pytest.fixture(scope="module")
+def state():
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=BLOCKS, num_blocks_depth=BLOCKS)
+    dummy = [jnp.zeros((1, 16, 16, 3))] * 2 + [jnp.zeros((1, 16, 16, 1))] * 2
+    variables = model.init(jax.random.key(1), *dummy, train=False)
+    return TrainState.create(variables, GroupedSGD())
+
+
+def test_orbax_roundtrip(tmp_path, state):
+    save_epoch(str(tmp_path), "sbmrgbd", 3, state, pth=False)
+    blank = state.replace(params=jax.tree.map(jnp.zeros_like, state.params))
+    restored, epoch = restore(str(tmp_path / "orbax_sbmrgbd_3"), blank)
+    assert epoch == 4
+    a = np.asarray(state.params["gate"]["kernel"])
+    b = np.asarray(restored.params["gate"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pth_export_loads_into_reference_model(tmp_path, state):
+    """The exported .pth must satisfy the reference's strict load_state_dict."""
+    raa_mod, RefB = get_reference()
+    save_epoch(str(tmp_path), "sbmrgbd", 0, state, pth=True)
+    path = os.path.join(str(tmp_path), "snapshot_sbmrgbd_0.pth")
+    ckpt = load_pth(path)
+    assert ckpt["epoch"] == 1
+
+    ref = raa_mod.RGBDSegmentation_RAA(RefB, BLOCKS, BLOCKS, num_classes=1)
+    missing, unexpected = ref.load_state_dict(
+        {k: v for k, v in ckpt["model"].items()}, strict=False
+    )
+    # num_batches_tracked counters are the only torch-side keys we don't emit.
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing[:5]
+    assert not unexpected, unexpected[:5]
+
+    # roundtrip: reference state_dict -> variables -> state_dict is identity
+    back = state_dict_to_variables(ckpt["model"])
+    again = variables_to_state_dict(back)
+    for k, v in again.items():
+        np.testing.assert_array_equal(v, np.asarray(ckpt["model"][k]), err_msg=k)
+
+
+def test_pth_export_forward_matches(tmp_path, state):
+    """Reference model loaded from our export == our model numerically."""
+    raa_mod, RefB = get_reference()
+    save_epoch(str(tmp_path), "sbmrgbd", 0, state, pth=True)
+    ckpt = load_pth(os.path.join(str(tmp_path), "snapshot_sbmrgbd_0.pth"))
+    ref = raa_mod.RGBDSegmentation_RAA(RefB, BLOCKS, BLOCKS, num_classes=1)
+    ref.load_state_dict(ckpt["model"], strict=False)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    rgb = rng.standard_normal((1, 3, 32, 32), dtype=np.float32)
+    d = rng.standard_normal((1, 1, 32, 32), dtype=np.float32)
+    with torch.no_grad():
+        t1, _, _ = ref(*(torch.from_numpy(v) for v in (rgb, rgb, d, d)))
+
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=BLOCKS, num_blocks_depth=BLOCKS)
+    nhwc = lambda x: jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    x1, _, _ = model.apply(state.variables, nhwc(rgb), nhwc(rgb), nhwc(d), nhwc(d), train=False)
+    np.testing.assert_allclose(np.asarray(x1)[..., 0], t1.numpy()[:, 0], rtol=1e-4, atol=1e-4)

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Training driver — reference CLI contract, TPU-native execution.
+
+Usage matches the reference (``README.md:56``):
+    python train.py --dataset sbmrgbd --model raa --gpus 0[,1...]
+
+Flow (reference ``train.py:399-634``, rebuilt per SURVEY.md §7): config.yaml
+→ model registry → pretrained ``.pth`` import → dataset + threaded loader →
+jitted train step (weighted BCE+0.8·L1 dual-branch loss, grouped SGD with
+the 0.01×/10× poly schedule) data-parallel over a ``jax.sharding.Mesh`` →
+per-epoch checkpoints in both orbax and the reference ``{epoch, model}``
+.pth contract → reference-format log lines (``plot_from_log.py``-parseable)
+→ loss-curve PNG.
+"""
+import argparse
+import datetime
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+
+def get_arguments():
+    parser = argparse.ArgumentParser(description="RGBD co-attention VOS training (TPU)")
+    parser.add_argument("--is-training", action="store_true",
+                        help="Whether to update BN running stats during training.")
+    parser.add_argument("--learning-rate", type=float, default=0.00025,
+                        help="Base learning rate (polynomial decay).")
+    parser.add_argument("--weight-decay", type=float, default=0.0005,
+                        help="L2 regularization strength.")
+    parser.add_argument("--momentum", type=float, default=0.9,
+                        help="SGD momentum.")
+    parser.add_argument("--power", type=float, default=0.9,
+                        help="Polynomial LR decay power.")
+    parser.add_argument("--dataset", type=str, default="sbmrgbd",
+                        help="sbmrgbd or hzfurgbd.")
+    parser.add_argument("--random-mirror", action="store_true")
+    parser.add_argument("--random-scale", action="store_true")
+    parser.add_argument("--not-restore-last", action="store_true")
+    parser.add_argument("--random-seed", type=int, default=1234)
+    parser.add_argument("--logFile", default="log.txt",
+                        help="File that stores the training logs.")
+    parser.add_argument("--cuda", default=True,
+                        help="Kept for CLI compatibility; device is the TPU mesh.")
+    parser.add_argument("--gpus", type=str, default="0",
+                        help="Device indices (maps to TPU chips).")
+    parser.add_argument("--model", default="raa",
+                        help="ori, raa, ref, add, conc1, conc2, conv_add, conv_conc2")
+    parser.add_argument("--coattention-backend", default="einsum",
+                        help="einsum | pallas")
+    return parser.parse_args()
+
+
+def main():
+    args = get_arguments()
+    start = time.time()
+    ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    print("Training starts at ", ymd_hms)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cosnet_tpu import config as cfg
+    from cosnet_tpu.data import BatchLoader, HzfuRgbdDataset, SbmRgbdDataset
+    from cosnet_tpu.models import create_model, init_variables, model_input_signature
+    from cosnet_tpu.parallel import data_parallel_mesh, shard_batch, replicate
+    from cosnet_tpu.train.checkpoint import restore, save_epoch
+    from cosnet_tpu.train.optim import GroupedSGD, lr_poly
+    from cosnet_tpu.train.state import TrainState, make_train_step
+    from cosnet_tpu.utils.logging import RunLogger
+    from cosnet_tpu.utils.torch_import import (
+        load_pth, merge_variables, state_dict_to_variables, unmatched_paths,
+    )
+
+    user_config = cfg.load_yaml("config.yaml")
+    ds_cfg = cfg.TrainDatasetConfig.from_config(user_config, args.dataset)
+    full_name = cfg.full_model_name(args.model)
+    restore_from = cfg.train_initial_params(user_config, full_name)
+
+    h, w = ds_cfg.output_HW
+    snapshot_dir = osp.join(".", "snapshots", args.dataset, full_name, f"H{h}W{w}", ymd_hms)
+    os.makedirs(snapshot_dir, exist_ok=True)
+    logger = RunLogger(osp.join(snapshot_dir, f"{args.dataset}__{full_name}_{ymd_hms}_train_log.txt"))
+    logger.section(str(vars(args)))
+
+    print("    current dataset:  ", args.dataset)
+    print("    init model: ", restore_from)
+    print("=====> Random Seed: ", args.random_seed)
+    np.random.seed(args.random_seed)
+
+    print("=====> Building network")
+    model = create_model(full_name, coattention_backend=args.coattention_backend)
+    n_inputs = model_input_signature(full_name)
+    variables = init_variables(model, n_inputs)
+
+    if restore_from and os.path.isfile(restore_from):
+        print("=====> Loading init weights from", restore_from)
+        sd = load_pth(restore_from)
+        imported = state_dict_to_variables(sd["model"] if "model" in sd else sd)
+        missing = unmatched_paths(variables, imported)
+        if missing:
+            logger.write(f"[import] {len(missing)} unmatched keys (first: {missing[:5]})\n")
+        variables = {
+            "params": merge_variables(variables["params"], imported["params"]),
+            "batch_stats": merge_variables(variables["batch_stats"], imported["batch_stats"]),
+        }
+    from cosnet_tpu.utils.device import device_materialize
+
+    variables = device_materialize(jax.tree.map(jnp.asarray, variables))
+
+    optimizer = GroupedSGD(momentum=args.momentum, weight_decay=args.weight_decay)
+    state = TrainState.create(variables, optimizer)
+
+    start_epoch = 0
+    if ds_cfg.checkpoint_file and isinstance(ds_cfg.checkpoint_file, str) and os.path.exists(ds_cfg.checkpoint_file):
+        print("=> loading checkpoint '{}'".format(ds_cfg.checkpoint_file))
+        state, start_epoch = restore(ds_cfg.checkpoint_file, state)
+
+    print("=====> Preparing training data")
+    common = dict(
+        sample_range=1,
+        output_HW=ds_cfg.output_HW,
+        subset=ds_cfg.subset,
+        for_training=True,
+        batch_size=ds_cfg.batch_size,
+        seed=args.random_seed,
+    )
+    if args.dataset == "sbmrgbd":
+        db_train = SbmRgbdDataset(ds_cfg.data_path, log_func=logger.write,
+                                  output_dir_for_debug=None, **common)
+    elif args.dataset == "hzfurgbd":
+        db_train = HzfuRgbdDataset(ds_cfg.data_path, **common)
+    else:
+        raise SystemExit("dataset error")
+
+    mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
+    n_dev = mesh.devices.size
+    print(f"=====> Mesh: {n_dev} device(s); global batch {ds_cfg.batch_size}")
+    if ds_cfg.batch_size % n_dev != 0:
+        raise SystemExit(f"batch_size {ds_cfg.batch_size} must divide the {n_dev}-device mesh")
+
+    train_step = make_train_step(model, optimizer)
+    jitted_step = jax.jit(train_step, donate_argnums=0)
+
+    trainloader = BatchLoader(db_train, batch_size=ds_cfg.batch_size, shuffle=True, seed=args.random_seed)
+    train_len = len(trainloader)
+    max_iter = ds_cfg.max_epoches * train_len
+    print("  iteration numbers  of per epoch: ", train_len)
+    print("  epoch num: ", ds_cfg.max_epoches)
+    print("  max iteration: ", max_iter)
+    total_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logger.write("Parameters: %s" % str(total_params))
+    logger.write("\n%s\t\t%s" % ("iter", "Loss(train)\n"))
+
+    with mesh:
+        state = replicate(state, mesh)
+        loss_history = []
+        batch_keys = ["target", "target_depth", "target_gt", "search_0", "search_0_depth", "search_0_gt"]
+        for epoch in range(start_epoch, int(ds_cfg.max_epoches)):
+            print("......epoch=", epoch)
+            np.random.seed(args.random_seed + epoch)
+            db_train.new_training_epoch()
+            for i_iter, batch in enumerate(trainloader):
+                lr = float(lr_poly(args.learning_rate, i_iter + epoch * train_len, max_iter, args.power, epoch))
+                device_batch = shard_batch({k: batch[k] for k in batch_keys}, mesh)
+                state, loss = jitted_step(state, device_batch, lr)
+                loss = float(loss)
+                loss_history.append(loss)
+                print("===> Epoch[{}]({}/{}): Loss: {:.10f}  lr: {:.5f}".format(epoch, i_iter, train_len, loss, lr))
+                logger.epoch_line(epoch, i_iter, train_len, loss, lr)
+
+            print("=====> saving model")
+            save_epoch(snapshot_dir, args.dataset, epoch, state)
+
+    hours = (time.time() - start) / 3600
+    print(hours, "h")
+    logger.write("total training time: {:.2f} h\n".format(hours))
+    logger.close()
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.plot(np.arange(len(loss_history)), loss_history)
+        plt.xlabel("epoch")
+        plt.ylabel("loss")
+        plt.savefig("training_loss_" + args.dataset + ".png")
+    except Exception as e:  # plotting is best-effort
+        print("loss plot failed:", e)
+
+
+if __name__ == "__main__":
+    main()
