@@ -53,6 +53,7 @@ class SbmRgbdDataset:
         meanval=(104.00699, 116.66877, 122.67892),
         seed: Optional[int] = None,
         static_shapes: bool = True,
+        use_native: bool = False,
         log_func=None,
         output_dir_for_debug: Optional[str] = None,
     ):
@@ -65,6 +66,14 @@ class SbmRgbdDataset:
         self.batch_size = batch_size
         self.meanval = np.array(meanval, dtype=np.float32)
         self.static_shapes = static_shapes
+        if use_native:
+            from cosnet_tpu.data import native as _native
+
+            use_native = _native.available()
+            self._native = _native if use_native else None
+        else:
+            self._native = None
+        self.use_native = use_native
         self.log_func = log_func
         self.output_dir_for_debug = output_dir_for_debug
 
@@ -141,10 +150,15 @@ class SbmRgbdDataset:
             img = cv2.imread(self._path("rgb", frame), cv2.IMREAD_COLOR)
             if img is None:
                 raise FileNotFoundError(self._path("rgb", frame))
-            img = img.astype(np.float32) - self.meanval  # BGR − mean (:609)
-            img = np.stack([crop_to_roi(img[:, :, i], roi) for i in range(3)], axis=-1)
-            if out_hw is not None:
-                img = cv2.resize(img, (out_hw[1], out_hw[0]))
+            if self.use_native and out_hw is not None:
+                # One fused native pass: ROI crop + bilinear resize + -mean
+                # (mean subtraction commutes with bilinear resampling).
+                img = self._native.fused_crop_resize_meansub(img, roi, out_hw, self.meanval)
+            else:
+                img = img.astype(np.float32) - self.meanval  # BGR − mean (:609)
+                img = np.stack([crop_to_roi(img[:, :, i], roi) for i in range(3)], axis=-1)
+                if out_hw is not None:
+                    img = cv2.resize(img, (out_hw[1], out_hw[0]))
             if train:
                 img, offset = augment_frame(
                     img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
@@ -157,9 +171,12 @@ class SbmRgbdDataset:
             img = cv2.imread(self._path("depth", frame), cv2.IMREAD_GRAYSCALE)
             if img is None:
                 raise FileNotFoundError(self._path("depth", frame))
-            img = crop_to_roi(img.astype(np.float32), roi)
-            if out_hw is not None:
-                img = cv2.resize(img, (out_hw[1], out_hw[0]))
+            if self.use_native and out_hw is not None:
+                img = self._native.fused_crop_resize_meansub(img, roi, out_hw, None)[:, :, 0]
+            else:
+                img = crop_to_roi(img.astype(np.float32), roi)
+                if out_hw is not None:
+                    img = cv2.resize(img, (out_hw[1], out_hw[0]))
             if train:
                 img, offset = augment_frame(
                     img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
@@ -172,10 +189,13 @@ class SbmRgbdDataset:
             img = cv2.imread(self._path("gt", frame), cv2.IMREAD_GRAYSCALE)
             if img is None:
                 raise FileNotFoundError(self._path("gt", frame))
-            img = (img != 0).astype(np.uint8)
-            img = crop_to_roi(img, roi)
-            if out_hw is not None:
-                img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+            if self.use_native and out_hw is not None:
+                img = self._native.fused_crop_resize_nearest(img, roi, out_hw, binarize=True)
+            else:
+                img = (img != 0).astype(np.uint8)
+                img = crop_to_roi(img, roi)
+                if out_hw is not None:
+                    img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
             if train:
                 img, offset = augment_frame(
                     img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static

@@ -49,6 +49,10 @@ def get_arguments():
                         help="ori, raa, ref, add, conc1, conc2, conv_add, conv_conc2")
     parser.add_argument("--coattention-backend", default="einsum",
                         help="einsum | pallas")
+    parser.add_argument("--profile-dir", default="",
+                        help="If set, write a jax.profiler trace of the first epoch here.")
+    parser.add_argument("--use-native-data", action="store_true",
+                        help="Route host preprocessing through the fused C++ kernels.")
     return parser.parse_args()
 
 
@@ -69,6 +73,7 @@ def main():
     from cosnet_tpu.train.optim import GroupedSGD, lr_poly
     from cosnet_tpu.train.state import TrainState, make_train_step
     from cosnet_tpu.utils.logging import RunLogger
+    from cosnet_tpu.utils.profiling import log_device_memory, trace
     from cosnet_tpu.utils.torch_import import (
         load_pth, merge_variables, state_dict_to_variables, unmatched_paths,
     )
@@ -128,6 +133,7 @@ def main():
     )
     if args.dataset == "sbmrgbd":
         db_train = SbmRgbdDataset(ds_cfg.data_path, log_func=logger.write,
+                                  use_native=args.use_native_data,
                                   output_dir_for_debug=None, **common)
     elif args.dataset == "hzfurgbd":
         db_train = HzfuRgbdDataset(ds_cfg.data_path, **common)
@@ -153,7 +159,7 @@ def main():
     logger.write("Parameters: %s" % str(total_params))
     logger.write("\n%s\t\t%s" % ("iter", "Loss(train)\n"))
 
-    with mesh:
+    with mesh, trace(args.profile_dir or None):
         state = replicate(state, mesh)
         loss_history = []
         batch_keys = ["target", "target_depth", "target_gt", "search_0", "search_0_depth", "search_0_gt"]
@@ -162,10 +168,12 @@ def main():
             np.random.seed(args.random_seed + epoch)
             db_train.new_training_epoch()
             for i_iter, batch in enumerate(trainloader):
+                log_device_memory(logger, " Start batch")
                 lr = float(lr_poly(args.learning_rate, i_iter + epoch * train_len, max_iter, args.power, epoch))
                 device_batch = shard_batch({k: batch[k] for k in batch_keys}, mesh)
                 state, loss = jitted_step(state, device_batch, lr)
                 loss = float(loss)
+                log_device_memory(logger, " After step")
                 loss_history.append(loss)
                 print("===> Epoch[{}]({}/{}): Loss: {:.10f}  lr: {:.5f}".format(epoch, i_iter, train_len, loss, lr))
                 logger.epoch_line(epoch, i_iter, train_len, loss, lr)
