@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_multi_reference_forward(model, n_inputs: int) -> Callable:
+def build_multi_reference_forward(model, n_inputs: int, as_uint8: bool = False) -> Callable:
     """Returns jitted ``fn(variables, target, searches, target_depth,
     search_depths) -> mask`` where
 
@@ -30,6 +30,8 @@ def build_multi_reference_forward(model, n_inputs: int) -> Callable:
 
     and the result is the R-averaged frame-A sigmoid mask [B, H, W, 1].
     """
+
+    staged = n_inputs == 4 and hasattr(model, "encode") and hasattr(model, "attend_and_decode")
 
     @jax.jit
     def forward(variables, target, searches, target_depth, search_depths):
@@ -42,13 +44,36 @@ def build_multi_reference_forward(model, n_inputs: int) -> Callable:
         def tile(x):  # [B, ...] -> [B*R, ...] (repeat each row R times)
             return jnp.repeat(x, r, axis=0)
 
-        if n_inputs == 4:
+        if staged:
+            # Shared-target path: encode the target frame ONCE (the encoders
+            # are ~2/3 of the FLOPs), broadcast its features over the R
+            # reference frames, and run one batched co-attention + decode.
+            # Numerically identical to the tiled path in eval mode.
+            v_a, d_a, _ = model.apply(variables, target, target_depth, train=False, method="encode")
+            v_b, d_b, _ = model.apply(variables, fold(searches), fold(search_depths), train=False, method="encode")
+            x1, _ = model.apply(
+                variables,
+                tile(v_a), v_b, tile(d_a), d_b, (h, w),
+                train=False,
+                method="attend_and_decode",
+            )
+        elif n_inputs == 4:
             out = model.apply(variables, tile(target), fold(searches), tile(target_depth), fold(search_depths), train=False)
+            x1 = out[0]
         elif n_inputs == 3:
             out = model.apply(variables, tile(target), fold(searches), tile(target_depth), train=False)
+            x1 = out[0]
         else:
             out = model.apply(variables, tile(target), fold(searches), train=False)
-        x1 = out[0]  # [B*R, H, W, 1]
-        return jnp.mean(x1.reshape(b, r, h, w, -1), axis=1)
+            x1 = out[0]
+        mask = jnp.mean(x1.reshape(b, r, h, w, -1), axis=1)
+        if as_uint8:
+            # (mask*255).astype(uint8) on-device: same arithmetic as the
+            # reference's host conversion (test.py:317), 4x less D2H traffic
+            # (the tunneled relay moves ~30 MB/s). Only valid when no float
+            # resize follows (output_WH == model input size — all reference
+            # eval configs).
+            mask = (mask * 255.0).astype(jnp.uint8)
+        return mask
 
     return forward

@@ -45,6 +45,25 @@ def save_epoch(snapshot_dir: str, dataset: str, epoch: int, state, pth: bool = T
         )
 
 
+def find_latest_checkpoint(snapshot_root: str) -> Optional[str]:
+    """Newest orbax checkpoint under ``snapshots/<ds>/<model>/H..W../<ts>/``
+    — the failure-recovery path: restart + ``--auto-resume`` continues from
+    the last completed epoch (SURVEY.md §5.3)."""
+    import glob
+
+    candidates = glob.glob(os.path.join(snapshot_root, "*", "orbax_*"))
+    if not candidates:
+        return None
+
+    def epoch_of(p):
+        try:
+            return int(p.rsplit("_", 1)[1])
+        except ValueError:
+            return -1
+
+    return max(candidates, key=lambda p: (epoch_of(p), os.path.getmtime(p)))
+
+
 def restore(path: str, state, restore_momentum: bool = False):
     """Restore from an orbax dir or a .pth file into an existing TrainState.
 

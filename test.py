@@ -37,6 +37,8 @@ def get_arguments():
                         help="ori, retrain, ref, raa, add, padd, conv_add, or conc")
     parser.add_argument("--coattention-backend", default="pallas",
                         help="pallas | einsum")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard the eval batch over all TPU chips (north-star config 5).")
     return parser.parse_args()
 
 
@@ -120,7 +122,18 @@ def main():
         output_img_dir = os.path.join(result_dir, "obj_seg_imgs")
         os.makedirs(output_img_dir, exist_ok=True)
 
-    forward = build_multi_reference_forward(model, n_inputs)
+    # When output_WH matches the model input size (all reference configs),
+    # the float resize is a no-op and the uint8 conversion runs on-device.
+    uint8_on_device = tuple(ds_cfg.output_WH) == (ds_cfg.image_HW_4_model[1], ds_cfg.image_HW_4_model[0])
+    forward = build_multi_reference_forward(model, n_inputs, as_uint8=uint8_on_device)
+
+    mesh = None
+    if args.data_parallel:
+        from cosnet_tpu.parallel import data_parallel_mesh
+        from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
+
+        mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
+        print(f"=====> eval sweep data-parallel over {mesh.devices.size} chip(s)")
 
     iou_result, f_result, iou_counter = 0.0, 0.0, 0
     frames_done, t_start = 0, time.time()
@@ -131,14 +144,31 @@ def main():
         searches = np.stack([batch[f"search_{i}"] for i in range(sample_range)], axis=1)
         search_depths = np.stack([batch[f"search_{i}_depth"] for i in range(sample_range)], axis=1)
         t0 = time.time()
-        mask = forward(variables, batch["target"], searches, batch["target_depth"], search_depths)
-        mask = np.asarray(mask)  # [B, H, W, 1]
+        if mesh is not None:
+            from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
+
+            dev_batch, n_real = pad_batch_to_multiple(
+                {"target": batch["target"], "searches": searches,
+                 "target_depth": batch["target_depth"], "search_depths": search_depths},
+                mesh.devices.size,
+            )
+            with mesh:
+                dev_batch = shard_batch(dev_batch, mesh)
+                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
+                               dev_batch["target_depth"], dev_batch["search_depths"])
+            mask = np.asarray(mask)[:n_real]
+        else:
+            mask = forward(variables, batch["target"], searches, batch["target_depth"], search_depths)
+            mask = np.asarray(mask)  # [B, H, W, 1]
         latencies.append((time.time() - t0) / b)
         frames_done += b
 
         for idx in range(b):
-            img = cv2.resize(mask[idx, :, :, 0], tuple(ds_cfg.output_WH))
-            mask_u8 = (img * 255).astype(np.uint8)
+            if uint8_on_device:
+                mask_u8 = mask[idx, :, :, 0]
+            else:
+                img = cv2.resize(mask[idx, :, :, 0], tuple(ds_cfg.output_WH))
+                mask_u8 = (img * 255).astype(np.uint8)
             gt = np.array(batch["target_gt"][idx])
             if gt.shape != mask_u8.shape:
                 # Reference configs keep output_WH == model input size; if a

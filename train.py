@@ -53,6 +53,8 @@ def get_arguments():
                         help="If set, write a jax.profiler trace of the first epoch here.")
     parser.add_argument("--use-native-data", action="store_true",
                         help="Route host preprocessing through the fused C++ kernels.")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="Resume from the newest snapshot for this dataset/model (failure recovery).")
     return parser.parse_args()
 
 
@@ -69,7 +71,7 @@ def main():
     from cosnet_tpu.data import BatchLoader, HzfuRgbdDataset, SbmRgbdDataset
     from cosnet_tpu.models import create_model, init_variables, model_input_signature
     from cosnet_tpu.parallel import data_parallel_mesh, shard_batch, replicate
-    from cosnet_tpu.train.checkpoint import restore, save_epoch
+    from cosnet_tpu.train.checkpoint import find_latest_checkpoint, restore, save_epoch
     from cosnet_tpu.train.optim import GroupedSGD, lr_poly
     from cosnet_tpu.train.state import TrainState, make_train_step
     from cosnet_tpu.utils.logging import RunLogger
@@ -118,9 +120,14 @@ def main():
     state = TrainState.create(variables, optimizer)
 
     start_epoch = 0
-    if ds_cfg.checkpoint_file and isinstance(ds_cfg.checkpoint_file, str) and os.path.exists(ds_cfg.checkpoint_file):
-        print("=> loading checkpoint '{}'".format(ds_cfg.checkpoint_file))
-        state, start_epoch = restore(ds_cfg.checkpoint_file, state)
+    resume_path = None
+    if args.auto_resume:
+        resume_path = find_latest_checkpoint(osp.join(".", "snapshots", args.dataset, full_name, f"H{h}W{w}"))
+    if not resume_path and ds_cfg.checkpoint_file and isinstance(ds_cfg.checkpoint_file, str) and os.path.exists(ds_cfg.checkpoint_file):
+        resume_path = ds_cfg.checkpoint_file
+    if resume_path:
+        print("=> loading checkpoint '{}'".format(resume_path))
+        state, start_epoch = restore(resume_path, state)
 
     print("=====> Preparing training data")
     common = dict(
