@@ -49,6 +49,7 @@ class HzfuRgbdDataset:
         seed: Optional[int] = None,
         static_shapes: bool = True,
         split_method: str = "frame_in_out",
+        use_native: bool = False,
         output_dir_for_debug: Optional[str] = None,
     ):
         self.dataset_root = dataset_root
@@ -61,6 +62,14 @@ class HzfuRgbdDataset:
         self.meanval = np.array(meanval, dtype=np.float32)
         self.static_shapes = static_shapes
         self.output_dir_for_debug = output_dir_for_debug
+        if use_native:
+            from cosnet_tpu.data import native as _native
+
+            use_native = _native.available()
+            self._native = _native if use_native else None
+        else:
+            self._native = None
+        self.use_native = use_native
 
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.flip_prob_of_seqs: Dict[str, float] = {}
@@ -172,9 +181,15 @@ class HzfuRgbdDataset:
             img = cv2.imread(path, cv2.IMREAD_COLOR)
             if img is None:
                 raise FileNotFoundError(path)
-            if out_hw is not None:
-                img = cv2.resize(img, (out_hw[1], out_hw[0]))
-            img = img.astype(np.float32) - self.meanval  # resize THEN -mean (:521-525)
+            if self.use_native and out_hw is not None:
+                # Fused native path (±1 intensity vs the reference's lossy
+                # u8→u8 cv2 resize, which rounds before the mean subtraction).
+                img = self._native.fused_crop_resize_meansub(img, None, out_hw, None)
+                img = np.rint(img) - self.meanval
+            else:
+                if out_hw is not None:
+                    img = cv2.resize(img, (out_hw[1], out_hw[0]))
+                img = img.astype(np.float32) - self.meanval  # resize THEN -mean (:521-525)
             if train:
                 img, offset = augment_frame(
                     img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static

@@ -64,6 +64,29 @@ def create_model(full_name: str, coattention_backend: str = "einsum", dtype=jnp.
     raise ValueError(f"{full_name!r}: Invalid model name!")
 
 
+_PARAM_SUBSETS = {
+    # reference rgbd_segmentation_RAA.py:65-100 subset names -> top-level keys
+    "encoder": ["encoder"],
+    "rgb_attention": ["rgb_similarity_weights", "gate", "reduce_channels_A", "reduce_channels_B", "bn_A", "bn_B"],
+    "depth": ["depth_encoder", "depth_gate", "depth_similarity_weights", "depth_reduce_channels", "depth_bn", "depth_weights"],
+    "decoder": ["segmentation_classifier_A", "segmentation_classifier_B"],
+}
+_PARAM_SUBSETS["rgb"] = _PARAM_SUBSETS["encoder"] + _PARAM_SUBSETS["rgb_attention"]
+_PARAM_SUBSETS["all"] = _PARAM_SUBSETS["rgb"] + _PARAM_SUBSETS["depth"] + _PARAM_SUBSETS["decoder"]
+
+
+def get_params(params: dict, subset: str) -> dict:
+    """Select a named parameter subset of the raa param tree — the
+    functional analog of the reference's ``RGBDSegmentation_RAA.get_params``
+    (``rgbd_segmentation_RAA.py:65-100``; drives the optimizer's LR groups:
+    1× = 'encoder', 10× = rgb_attention+depth+decoder, train.py:220-346)."""
+    if subset == "none":
+        return {}
+    if subset not in _PARAM_SUBSETS:
+        raise ValueError(f"unknown subset {subset!r}")
+    return {k: params[k] for k in _PARAM_SUBSETS[subset] if k in params}
+
+
 def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0, on_cpu: bool = True):
     """Initialize model variables. Runs on the CPU backend by default — a
     full init on the tunneled TPU compiles every op eagerly (minutes); see

@@ -82,3 +82,20 @@ def test_registry_covers_reference_model_names():
     # every registry abbreviation resolves (reference test.py:180-206)
     for abbr in ["ori", "retrain", "ref", "raa", "add", "conc1", "conc2", "padd", "conv_add", "conv_conc2"]:
         assert abbr in MODEL_ABBREVIATIONS
+
+
+def test_get_params_subsets():
+    from cosnet_tpu.models import get_params
+    from cosnet_tpu.nn.raa import RGBDSegmentationRAA
+    import jax
+
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=BLOCKS, num_blocks_depth=BLOCKS)
+    dummy = [jnp.zeros((1, 16, 16, 3))] * 2 + [jnp.zeros((1, 16, 16, 1))] * 2
+    params = model.init(jax.random.key(0), *dummy, train=False)["params"]
+    assert get_params(params, "none") == {}
+    assert set(get_params(params, "encoder")) == {"encoder"}
+    assert "depth_encoder" in get_params(params, "depth")
+    assert set(get_params(params, "all")) == set(params)
+    # the 10x group == rgb_attention + depth + decoder covers everything but encoder
+    ten_x = {**get_params(params, "rgb_attention"), **get_params(params, "depth"), **get_params(params, "decoder")}
+    assert set(ten_x) | {"encoder"} == set(params)
