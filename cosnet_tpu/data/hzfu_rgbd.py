@@ -50,6 +50,7 @@ class HzfuRgbdDataset:
         static_shapes: bool = True,
         split_method: str = "frame_in_out",
         use_native: bool = False,
+        augment_on_host: bool = True,
         output_dir_for_debug: Optional[str] = None,
     ):
         self.dataset_root = dataset_root
@@ -70,6 +71,7 @@ class HzfuRgbdDataset:
         else:
             self._native = None
         self.use_native = use_native
+        self.augment_on_host = augment_on_host
 
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.flip_prob_of_seqs: Dict[str, float] = {}
@@ -154,7 +156,7 @@ class HzfuRgbdDataset:
 
     def load_frame(self, frame: FrameRecord, channels: str):
         out_hw = self.output_HW
-        train = self.for_training
+        train = self.for_training and self.augment_on_host
         offset = None
         if train:
             flip_p = self.flip_prob_of_seqs.setdefault(frame.seq_name, self.rng.uniform(0, 1))

@@ -54,6 +54,7 @@ class SbmRgbdDataset:
         seed: Optional[int] = None,
         static_shapes: bool = True,
         use_native: bool = False,
+        augment_on_host: bool = True,
         log_func=None,
         output_dir_for_debug: Optional[str] = None,
     ):
@@ -74,6 +75,7 @@ class SbmRgbdDataset:
         else:
             self._native = None
         self.use_native = use_native
+        self.augment_on_host = augment_on_host
         self.log_func = log_func
         self.output_dir_for_debug = output_dir_for_debug
 
@@ -138,7 +140,7 @@ class SbmRgbdDataset:
         """Returns (rgb [H,W,3] f32, depth [H,W,1] f32, gt [H,W] u8)."""
         roi = self.roi.get(frame.seq_name)
         out_hw = self.output_HW
-        train = self.for_training
+        train = self.for_training and self.augment_on_host
         offset = None
         rgb = depth = gt = None
 

@@ -55,6 +55,8 @@ def get_arguments():
                         help="Route host preprocessing through the fused C++ kernels.")
     parser.add_argument("--auto-resume", action="store_true",
                         help="Resume from the newest snapshot for this dataset/model (failure recovery).")
+    parser.add_argument("--device-augment", action="store_true",
+                        help="Run crop/flip augmentation on-device (batched, jitted) instead of on the host.")
     return parser.parse_args()
 
 
@@ -137,6 +139,7 @@ def main():
         for_training=True,
         batch_size=ds_cfg.batch_size,
         seed=args.random_seed,
+        augment_on_host=not args.device_augment,
     )
     if args.dataset == "sbmrgbd":
         db_train = SbmRgbdDataset(ds_cfg.data_path, log_func=logger.write,
@@ -166,6 +169,26 @@ def main():
     logger.write("Parameters: %s" % str(total_params))
     logger.write("\n%s\t\t%s" % ("iter", "Loss(train)\n"))
 
+    if args.device_augment:
+        from cosnet_tpu.data.device_augment import augment_batch, draw_augmentation_params
+
+        aug_rng = np.random.default_rng(args.random_seed)
+        flip_of_seq = {}
+
+        def device_augment(db):
+            """Batched on-device crop/flip with the reference's RNG sharing
+            protocol; offsets per frame, flips per sequence, ratio per batch."""
+            seqs = db.pop("_seqs")
+            off_t, ratio, flips = draw_augmentation_params(aug_rng, seqs, flip_of_seq, ds_cfg.output_HW)
+            off_s, _, _ = draw_augmentation_params(aug_rng, seqs, flip_of_seq, ds_cfg.output_HW)
+            db["target"] = augment_batch(db["target"], off_t, ratio, flips)
+            db["target_depth"] = augment_batch(db["target_depth"], off_t, ratio, flips)
+            db["target_gt"] = augment_batch(db["target_gt"].astype(np.float32), off_t, ratio, flips, nearest=True)
+            db["search_0"] = augment_batch(db["search_0"], off_s, ratio, flips)
+            db["search_0_depth"] = augment_batch(db["search_0_depth"], off_s, ratio, flips)
+            db["search_0_gt"] = augment_batch(db["search_0_gt"].astype(np.float32), off_s, ratio, flips, nearest=True)
+            return db
+
     with mesh, trace(args.profile_dir or None):
         state = replicate(state, mesh)
         loss_history = []
@@ -178,6 +201,9 @@ def main():
                 log_device_memory(logger, " Start batch")
                 lr = float(lr_poly(args.learning_rate, i_iter + epoch * train_len, max_iter, args.power, epoch))
                 device_batch = shard_batch({k: batch[k] for k in batch_keys}, mesh)
+                if args.device_augment:
+                    device_batch["_seqs"] = batch["seq_name"]
+                    device_batch = device_augment(device_batch)
                 state, loss = jitted_step(state, device_batch, lr)
                 loss = float(loss)
                 log_device_memory(logger, " After step")
