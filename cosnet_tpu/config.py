@@ -10,7 +10,6 @@ verbatim.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import yaml

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import collections
 import random
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 

@@ -12,7 +12,6 @@ numerically identical to the reference's sequential loop.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cosnet_tpu.nn.init import conv_kernel_init, make_conv_bias_init
-from cosnet_tpu.nn.resnet import _bn, _conv
+from cosnet_tpu.nn.resnet import _bn
 
 
 def _biased_conv(features, kernel, in_ch, dilation=1, padding=0, name=None, dtype=jnp.float32):

@@ -22,7 +22,7 @@ per-leaf from parameter paths.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
