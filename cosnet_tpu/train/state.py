@@ -35,22 +35,26 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def make_train_step(model, optimizer: GroupedSGD, ignore_counterpart_loss: bool = False) -> Callable:
+def make_train_step(model, optimizer: GroupedSGD, ignore_counterpart_loss: bool = False, n_inputs: int = 4) -> Callable:
     """Build the jit-able train step: forward (train mode, BN stats mutate) →
     dual-branch weighted-BCE+L1 loss → grads → grouped SGD update.
 
-    The step is pure; data-parallel execution comes from jitting it under a
-    Mesh with the batch sharded on the 'data' axis (see cosnet_tpu/parallel).
+    ``n_inputs`` selects the model family's call signature (4 = raa, 3 = the
+    depth-fusion ablations, 2 = the RGB-only co-attention nets). The step is
+    pure; data-parallel execution comes from jitting it under a Mesh with the
+    batch sharded on the 'data' axis (see cosnet_tpu/parallel).
     """
 
     def train_step(state: TrainState, batch: dict, lr):
         def loss_fn(params):
+            inputs = [batch["target"], batch["search_0"]]
+            if n_inputs >= 3:
+                inputs.append(batch["target_depth"])
+            if n_inputs >= 4:
+                inputs.append(batch["search_0_depth"])
             (x1, x2, _), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["target"],
-                batch["search_0"],
-                batch["target_depth"],
-                batch["search_0_depth"],
+                *inputs,
                 train=True,
                 mutable=["batch_stats"],
             )

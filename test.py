@@ -23,7 +23,7 @@ import numpy as np
 def get_arguments():
     parser = argparse.ArgumentParser(description="RGBDCoAttention (TPU)")
     parser.add_argument("--dataset", type=str, default="sbmrgbd",
-                        help="hzfud, hzfurgb, hzfurgbd, or sbmrgbd")
+                        help="hzfud, hzfurgb, hzfurgbd, sbmrgbd, or davis")
     parser.add_argument("--cuda", default=True,
                         help="Kept for CLI compatibility; device is the TPU.")
     parser.add_argument("--gpus", type=str, default="0")
@@ -63,7 +63,22 @@ def main():
 
     user_config = cfg.load_yaml("config.yaml")
     full_name = cfg.full_model_name(args.model)
-    ds_cfg = cfg.TestDatasetConfig.from_config(user_config, args.dataset)
+    if args.dataset == "davis":
+        # The reference's davis eval path is broken (missing module,
+        # test.py:28); re-derived with its hardcoded 480x854 eval geometry
+        # (reference test.py:241) and the config's val subset_file.
+        d = user_config["test"]["dataset"]["davis"]
+        ds_cfg = cfg.TestDatasetConfig(
+            name="davis",
+            data_path=d.get("data_path") or d.get("path") or "",
+            sample_range=int(d.get("sample_range") or args.sample_range),
+            image_HW_4_model=cfg._parse_hw(d["image_HW_4_model"]) if d.get("image_HW_4_model") else (480, 854),
+            output_WH=cfg._parse_hw(d["output_WH"]) if d.get("output_WH") else (854, 480),
+            subset=None,
+        )
+        davis_subset_file = d.get("subset_file")
+    else:
+        ds_cfg = cfg.TestDatasetConfig.from_config(user_config, args.dataset)
     batch_size = args.batch_size or 1
     sample_range = ds_cfg.sample_range  # config wins, as in reference test.py:132
 
@@ -111,6 +126,17 @@ def main():
         db_test = SbmRgbdDataset(ds_cfg.data_path, **common)
     elif args.dataset in ("hzfud", "hzfurgb", "hzfurgbd"):
         db_test = HzfuRgbdDataset(ds_cfg.data_path, **common)
+    elif args.dataset == "davis":
+        from cosnet_tpu.data.davis import DavisDataset
+
+        db_test = DavisDataset(
+            ds_cfg.data_path,
+            sample_range=ds_cfg.sample_range,
+            output_HW=ds_cfg.image_HW_4_model,
+            for_training=False,
+            batch_size=batch_size,
+            subset_file=davis_subset_file,
+        )
     else:
         raise SystemExit("dataset error")
 

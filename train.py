@@ -34,7 +34,7 @@ def get_arguments():
     parser.add_argument("--power", type=float, default=0.9,
                         help="Polynomial LR decay power.")
     parser.add_argument("--dataset", type=str, default="sbmrgbd",
-                        help="sbmrgbd or hzfurgbd.")
+                        help="sbmrgbd, hzfurgbd, or davis (RGB-only models).")
     parser.add_argument("--random-mirror", action="store_true")
     parser.add_argument("--random-scale", action="store_true")
     parser.add_argument("--not-restore-last", action="store_true")
@@ -71,6 +71,7 @@ def main():
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.data import BatchLoader, HzfuRgbdDataset, SbmRgbdDataset
+    from cosnet_tpu.data.davis import DavisDataset
     from cosnet_tpu.models import create_model, init_variables, model_input_signature
     from cosnet_tpu.parallel import data_parallel_mesh, shard_batch, replicate
     from cosnet_tpu.train.checkpoint import find_latest_checkpoint, restore, save_epoch
@@ -147,6 +148,10 @@ def main():
                                   output_dir_for_debug=None, **common)
     elif args.dataset == "hzfurgbd":
         db_train = HzfuRgbdDataset(ds_cfg.data_path, **common)
+    elif args.dataset == "davis":
+        davis_cfg = user_config["train"]["dataset"]["davis"]
+        common.pop("subset", None)
+        db_train = DavisDataset(ds_cfg.data_path, subset_file=davis_cfg.get("subset_file"), **common)
     else:
         raise SystemExit("dataset error")
 
@@ -156,7 +161,7 @@ def main():
     if ds_cfg.batch_size % n_dev != 0:
         raise SystemExit(f"batch_size {ds_cfg.batch_size} must divide the {n_dev}-device mesh")
 
-    train_step = make_train_step(model, optimizer)
+    train_step = make_train_step(model, optimizer, n_inputs=n_inputs)
     jitted_step = jax.jit(train_step, donate_argnums=0)
 
     trainloader = BatchLoader(db_train, batch_size=ds_cfg.batch_size, shuffle=True, seed=args.random_seed)
