@@ -99,3 +99,15 @@ def test_get_params_subsets():
     # the 10x group == rgb_attention + depth + decoder covers everything but encoder
     ten_x = {**get_params(params, "rgb_attention"), **get_params(params, "depth"), **get_params(params, "decoder")}
     assert set(ten_x) | {"encoder"} == set(params)
+
+
+def test_alt_depth_encoder_forward():
+    """DepthEncoderResNet — the unused-alternative encoder (reference
+    deeplabv3_encoder.py:191-229) kept for capability parity."""
+    from cosnet_tpu.nn.encoders import DepthEncoderResNet
+
+    model = DepthEncoderResNet(block=Bottleneck, num_blocks=BLOCKS, output_channels=64)
+    x = jnp.zeros((1, 32, 32, 1))
+    v = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 5, 5, 64)  # os=8 with ceil-mode stem: 32 -> 16 -> 9 -> 5
