@@ -19,6 +19,7 @@ import cv2
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
+from cosnet_tpu.data.aug_state import AugRatios
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord
 
 
@@ -50,8 +51,7 @@ class DavisDataset:
 
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.flip_prob_of_seqs = {}
-        self._scale_ratio = 0.9
-        self._crop_ratio = 0.9
+        self._ratios = AugRatios()  # thread-local: per-worker == per-batch
 
         if sequences is None and subset_file and os.path.isfile(subset_file):
             with open(subset_file) as f:
@@ -100,7 +100,7 @@ class DavisDataset:
         if out_hw is not None:
             img = cv2.resize(img, (out_hw[1], out_hw[0]))
         if train:
-            img, offset = augment_frame(img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static)
+            img, offset = augment_frame(img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static)
         rgb = np.ascontiguousarray(img, dtype=np.float32)
 
         gt = np.zeros((1, 1), dtype=np.uint8)
@@ -112,7 +112,7 @@ class DavisDataset:
             if out_hw is not None:
                 g = cv2.resize(g, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
             if train:
-                g, offset = augment_frame(g, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static)
+                g, offset = augment_frame(g, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static)
             gt = np.ascontiguousarray(g, dtype=np.uint8)
         return rgb, gt
 
@@ -146,8 +146,9 @@ class DavisDataset:
         return sample
 
     def next_batch(self):
-        self._scale_ratio = self.rng.uniform(0.7, 1.3)
-        self._crop_ratio = self.rng.uniform(0.8, 1.0)
+        """Redraw per-batch crop/scale ratios (reference :700-703); state is
+        thread-local so concurrent batch workers cannot leak ratios."""
+        self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
         self.flip_prob_of_seqs.clear()

@@ -28,6 +28,7 @@ import h5py
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
+from cosnet_tpu.data.aug_state import AugRatios
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord
 
 FOLDERS = {"rgb": "RGB_data", "depth": "Depth_data", "gt": "Label"}
@@ -76,8 +77,7 @@ class HzfuRgbdDataset:
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.flip_prob_of_seqs: Dict[str, float] = {}
         self.depth_min_max: Dict[str, List[float]] = {}
-        self._scale_ratio = 0.9
-        self._crop_ratio = 0.9
+        self._ratios = AugRatios()  # thread-local: per-worker == per-batch
 
         self.entire = self._load_meta_data()
         self.index = self._split(subset, subset_percentage, split_method)
@@ -174,7 +174,7 @@ class HzfuRgbdDataset:
             mm[1] = min(mm[1], dmax)
             if train:
                 d2d, offset = augment_frame(
-                    d2d, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
+                    d2d, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static
                 )
             depth = np.ascontiguousarray(d2d, dtype=np.float32)[:, :, None]
 
@@ -194,7 +194,7 @@ class HzfuRgbdDataset:
                 img = img.astype(np.float32) - self.meanval  # resize THEN -mean (:521-525)
             if train:
                 img, offset = augment_frame(
-                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static
                 )
             rgb = np.ascontiguousarray(img, dtype=np.float32)
         elif "d" in channels:
@@ -213,7 +213,7 @@ class HzfuRgbdDataset:
             img = (img != 0).astype(np.uint8)  # resize then binarize (:567-570)
             if train:
                 img, offset = augment_frame(
-                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static
                 )
             gt = np.ascontiguousarray(img, dtype=np.uint8)
 
@@ -253,8 +253,9 @@ class HzfuRgbdDataset:
         return sample
 
     def next_batch(self):
-        self._scale_ratio = self.rng.uniform(0.7, 1.3)
-        self._crop_ratio = self.rng.uniform(0.8, 1.0)
+        """Redraw per-batch crop/scale ratios (reference :700-703); state is
+        thread-local so concurrent batch workers cannot leak ratios."""
+        self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
         self.flip_prob_of_seqs.clear()

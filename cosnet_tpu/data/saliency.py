@@ -18,6 +18,7 @@ import cv2
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
+from cosnet_tpu.data.aug_state import AugRatios
 
 
 class SaliencyDataset:
@@ -40,8 +41,7 @@ class SaliencyDataset:
         self.static_shapes = static_shapes
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.flip_prob = {}
-        self._scale_ratio = 0.9
-        self._crop_ratio = 0.9
+        self._ratios = AugRatios()  # thread-local: per-worker == per-batch
 
         self.items: List[Tuple[str, str, str]] = []  # (name, img_path, mask_path)
         for name, spec in (datasets or {}).items():
@@ -73,7 +73,7 @@ class SaliencyDataset:
         if self.output_HW is not None:
             img = cv2.resize(img, (self.output_HW[1], self.output_HW[0]))
         if train:
-            img, offset = augment_frame(img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static)
+            img, offset = augment_frame(img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static)
         rgb = np.ascontiguousarray(img, dtype=np.float32)
 
         gt = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
@@ -81,7 +81,7 @@ class SaliencyDataset:
         if self.output_HW is not None:
             gt = cv2.resize(gt, (self.output_HW[1], self.output_HW[0]), interpolation=cv2.INTER_NEAREST)
         if train:
-            gt, offset = augment_frame(gt, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static)
+            gt, offset = augment_frame(gt, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static)
         gt = np.ascontiguousarray(gt, dtype=np.uint8)
 
         zero_depth = np.zeros((1, 1, 1), dtype=np.float32)
@@ -93,8 +93,9 @@ class SaliencyDataset:
         }
 
     def next_batch(self):
-        self._scale_ratio = self.rng.uniform(0.7, 1.3)
-        self._crop_ratio = self.rng.uniform(0.8, 1.0)
+        """Redraw per-batch crop/scale ratios (reference :700-703); state is
+        thread-local so concurrent batch workers cannot leak ratios."""
+        self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
         self.flip_prob.clear()

@@ -30,6 +30,7 @@ import cv2
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
+from cosnet_tpu.data.aug_state import AugRatios
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord, split_index
 from cosnet_tpu.data.roi import Boundary, crop_to_roi, find_roi
 
@@ -82,8 +83,7 @@ class SbmRgbdDataset:
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.roi: Dict[str, Boundary] = {}
         self.flip_prob_of_seqs: Dict[str, float] = {}
-        self._scale_ratio = 0.9  # reference defaults (:246-247)
-        self._crop_ratio = 0.9
+        self._ratios = AugRatios()  # thread-local: per-worker == per-batch
 
         self.entire = self._collect_file_list()
         self.index = split_index(self.entire, subset, subset_percentage, for_training, self.rng)
@@ -163,7 +163,7 @@ class SbmRgbdDataset:
                     img = cv2.resize(img, (out_hw[1], out_hw[0]))
             if train:
                 img, offset = augment_frame(
-                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static
                 )
             rgb = np.ascontiguousarray(img, dtype=np.float32)
         else:
@@ -181,7 +181,7 @@ class SbmRgbdDataset:
                     img = cv2.resize(img, (out_hw[1], out_hw[0]))
             if train:
                 img, offset = augment_frame(
-                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static
                 )
             depth = np.ascontiguousarray(img, dtype=np.float32)[:, :, None]
         else:
@@ -200,7 +200,7 @@ class SbmRgbdDataset:
                     img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
             if train:
                 img, offset = augment_frame(
-                    img, self._crop_ratio, self._scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static
                 )
             gt = np.ascontiguousarray(img, dtype=np.uint8)
         else:
@@ -262,9 +262,9 @@ class SbmRgbdDataset:
         return sample
 
     def next_batch(self):
-        """Redraw per-batch crop/scale ratios (reference :700-703)."""
-        self._scale_ratio = self.rng.uniform(0.7, 1.3)
-        self._crop_ratio = self.rng.uniform(0.8, 1.0)
+        """Redraw per-batch crop/scale ratios (reference :700-703); state is
+        thread-local so concurrent batch workers cannot leak ratios."""
+        self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
         self.flip_prob_of_seqs.clear()
