@@ -111,3 +111,18 @@ def test_alt_depth_encoder_forward():
     v = model.init(jax.random.key(0), x, train=False)
     out = model.apply(v, x, train=False)
     assert out.shape == (1, 5, 5, 64)  # os=8 with ceil-mode stem: 32 -> 16 -> 9 -> 5
+
+
+def test_basicblock_resnet_works():
+    """ResNet(BasicBlock) — note: the reference's own _make_layer crashes
+    with BasicBlock (downsample is None for layer1 yet its BN-freeze loop
+    dereferences it, residual_net.py:127-133); ours handles it."""
+    from cosnet_tpu.nn.resnet import BasicBlock, ResNet
+
+    model = ResNet(BasicBlock, [1, 1, 1, 1])
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 5, 5, 512)  # expansion 1: 512 channels at os=8(ceil)
+    # layer1 first block has no downsample (stride 1, 64 == 64*expansion)
+    assert "downsample_conv" not in v["params"]["layer1_0"]
