@@ -36,7 +36,6 @@ from cosnet_tpu.data.roi import Boundary, crop_to_roi, find_roi
 
 ROI_FILE_NAME = "ROI.bmp"
 FOLDERS = {"rgb": "input", "depth": "depth", "gt": "groundtruth"}
-PREFIX = {"rgb": "in", "depth": "d", "gt": "gt"}
 
 
 class SbmRgbdDataset:

@@ -101,6 +101,9 @@ def main():
         }
     else:
         print(f"!! pretrained params not found at {pretrained!r} — evaluating fresh init")
+    from cosnet_tpu.utils.summary import model_summary
+
+    print(model_summary(variables))  # reference prints a model summary (test.py:231-236)
     from cosnet_tpu.utils.device import device_materialize
 
     variables = device_materialize(jax.tree.map(jnp.asarray, variables))
