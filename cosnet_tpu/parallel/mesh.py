@@ -28,6 +28,35 @@ def data_parallel_mesh(device_indices: Optional[Sequence[int]] = None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("data",))
 
 
+def multi_host_mesh(ici_axis_size: Optional[int] = None) -> Mesh:
+    """('replica', 'data') mesh for multi-host scale-out.
+
+    The inner 'data' axis spans the chips of one host (collectives ride ICI);
+    the outer 'replica' axis spans hosts (DCN). Sharding the batch over BOTH
+    axes keeps the gradient reduction hierarchical: XLA emits a
+    reduce-scatter/all-reduce over ICI first and the cross-host reduction
+    over DCN. On a single host this degenerates to (1, n_local) and is
+    equivalent to the flat data-parallel mesh. Multi-host initialization
+    (``jax.distributed.initialize``) is the caller's responsibility.
+    """
+    devices = jax.devices()
+    local = ici_axis_size or max(
+        1, len([d for d in devices if d.process_index == devices[0].process_index])
+    )
+    assert len(devices) % local == 0, (len(devices), local)
+    grid = np.array(devices).reshape(len(devices) // local, local)
+    return Mesh(grid, axis_names=("replica", "data"))
+
+
+def shard_batch_2d(batch: dict, mesh: Mesh) -> dict:
+    """Batch sharded over BOTH mesh axes (multi-host DP)."""
+    sharding = NamedSharding(mesh, P(("replica", "data")))
+    return {
+        k: jax.device_put(v, sharding) if hasattr(v, "shape") else v
+        for k, v in batch.items()
+    }
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place array values of a batch dict with the leading dim sharded over
     'data'; non-arrays (seq names) pass through."""

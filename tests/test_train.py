@@ -170,3 +170,26 @@ def test_train_step_data_parallel_matches_single_device():
     a = np.asarray(ref_state.params["gate"]["kernel"])
     b = np.asarray(dp_state.params["gate"]["kernel"])
     np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-5)
+
+
+def test_train_step_on_2d_multi_host_mesh():
+    """('replica','data') hierarchical DP == flat single-device result."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from cosnet_tpu.parallel import replicate
+    from cosnet_tpu.parallel.mesh import shard_batch_2d
+
+    _, state, step, batch = _tiny_setup(batch=8)
+    jitted = jax.jit(step)
+    ref_state, ref_loss = jitted(state, batch, 1e-4)
+
+    grid = np.array(jax.devices()).reshape(2, 4)  # 2 "hosts" x 4 "chips"
+    mesh = Mesh(grid, axis_names=("replica", "data"))
+    with mesh:
+        dp_state = replicate(state, mesh)
+        dp_batch = shard_batch_2d({k: np.asarray(v) for k, v in batch.items()}, mesh)
+        dp_state, dp_loss = jitted(dp_state, dp_batch, 1e-4)
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-5)
+    a = np.asarray(ref_state.params["gate"]["kernel"])
+    b = np.asarray(dp_state.params["gate"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-5)
