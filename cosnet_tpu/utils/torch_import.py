@@ -237,6 +237,11 @@ def variables_to_state_dict(variables: dict) -> dict:
         mods = _torch_module_path(mods)
         name = {"mean": "running_mean", "var": "running_var"}[leafname]
         out[".".join(mods + [name])] = np.asarray(leaf)
+        if leafname == "mean":
+            # torch BN tracks an update counter; the reference's test.py
+            # loads snapshots with STRICT load_state_dict (test.py:228), so
+            # drop-in compatibility requires emitting it.
+            out[".".join(mods + ["num_batches_tracked"])] = np.asarray(0, dtype=np.int64)
     return out
 
 

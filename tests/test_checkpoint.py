@@ -48,16 +48,14 @@ def test_pth_export_loads_into_reference_model(tmp_path, state):
     assert ckpt["epoch"] == 1
 
     ref = raa_mod.RGBDSegmentation_RAA(RefB, BLOCKS, BLOCKS, num_classes=1)
-    missing, unexpected = ref.load_state_dict(
-        {k: v for k, v in ckpt["model"].items()}, strict=False
-    )
-    # num_batches_tracked counters are the only torch-side keys we don't emit.
-    assert all(k.endswith("num_batches_tracked") for k in missing), missing[:5]
-    assert not unexpected, unexpected[:5]
+    # STRICT load — the reference's own test.py loads snapshots strictly
+    # (test.py:228), so the export must be a complete drop-in.
+    ref.load_state_dict({k: v for k, v in ckpt["model"].items()}, strict=True)
 
     # roundtrip: reference state_dict -> variables -> state_dict is identity
     back = state_dict_to_variables(ckpt["model"])
     again = variables_to_state_dict(back)
+    assert set(again) == set(ckpt["model"])
     for k, v in again.items():
         np.testing.assert_array_equal(v, np.asarray(ckpt["model"][k]), err_msg=k)
 
@@ -68,7 +66,7 @@ def test_pth_export_forward_matches(tmp_path, state):
     save_epoch(str(tmp_path), "sbmrgbd", 0, state, pth=True)
     ckpt = load_pth(os.path.join(str(tmp_path), "snapshot_sbmrgbd_0.pth"))
     ref = raa_mod.RGBDSegmentation_RAA(RefB, BLOCKS, BLOCKS, num_classes=1)
-    ref.load_state_dict(ckpt["model"], strict=False)
+    ref.load_state_dict(ckpt["model"], strict=True)
     ref.eval()
 
     rng = np.random.default_rng(0)
