@@ -11,7 +11,25 @@ would let a concurrent worker's redraw leak into another batch mid-load
 The per-sequence flip dict stays shared on purpose: flips are per sequence
 across the whole epoch, not per batch.
 """
+import hashlib
+import random
 import threading
+
+
+def derived_rng(seed, *keys) -> random.Random:
+    """Deterministic per-item RNG: ``Random(H(seed, *keys))``.
+
+    Gives the data pipeline run-to-run reproducibility that is independent
+    of worker-thread scheduling (a shared Random's state depends on the
+    order threads consume it). Used when a dataset is constructed with an
+    explicit ``seed``.
+    """
+    h = hashlib.blake2b(repr((seed,) + keys).encode(), digest_size=8)
+    return random.Random(int.from_bytes(h.digest(), "little"))
+
+
+def derived_uniform(seed, *keys) -> float:
+    return derived_rng(seed, *keys).uniform(0.0, 1.0)
 
 
 class AugRatios(threading.local):

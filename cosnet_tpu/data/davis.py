@@ -19,7 +19,7 @@ import cv2
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
-from cosnet_tpu.data.aug_state import AugRatios
+from cosnet_tpu.data.aug_state import AugRatios, derived_rng, derived_uniform
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord
 
 
@@ -49,7 +49,9 @@ class DavisDataset:
         self.augment_on_host = augment_on_host
         self.resolution = resolution
 
+        self.seed = seed
         self.rng = random.Random(seed) if seed is not None else random.Random()
+        self._epoch = 0
         self.flip_prob_of_seqs = {}
         self._ratios = AugRatios()  # thread-local: per-worker == per-batch
 
@@ -85,12 +87,13 @@ class DavisDataset:
                 index.add_sequence(seq, frames)
         return index
 
-    def load_frame(self, frame: FrameRecord, with_gt: bool = True):
+    def load_frame(self, frame: FrameRecord, with_gt: bool = True, rng=None):
         out_hw = self.output_HW
         train = self.for_training and self.augment_on_host
         offset = None
+        rng = rng if rng is not None else self.rng
         if train:
-            flip_p = self.flip_prob_of_seqs.setdefault(frame.seq_name, self.rng.uniform(0, 1))
+            flip_p = self._flip_prob(frame.seq_name)
             static = out_hw if self.static_shapes else None
 
         img = cv2.imread(os.path.join(self._img_dir(frame.seq_name), frame.rgb_name), cv2.IMREAD_COLOR)
@@ -100,7 +103,7 @@ class DavisDataset:
         if out_hw is not None:
             img = cv2.resize(img, (out_hw[1], out_hw[0]))
         if train:
-            img, offset = augment_frame(img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static)
+            img, offset = augment_frame(img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static)
         rgb = np.ascontiguousarray(img, dtype=np.float32)
 
         gt = np.zeros((1, 1), dtype=np.uint8)
@@ -112,9 +115,23 @@ class DavisDataset:
             if out_hw is not None:
                 g = cv2.resize(g, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
             if train:
-                g, offset = augment_frame(g, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static)
+                g, offset = augment_frame(g, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, nearest=True, static_hw=static)
             gt = np.ascontiguousarray(g, dtype=np.uint8)
         return rgb, gt
+
+
+    def _sample_rng(self, frame_index: int):
+        """Per-sample RNG: deterministic (independent of worker scheduling)
+        when the dataset has an explicit seed; the shared Random otherwise
+        (reference semantics)."""
+        if self.seed is not None:
+            return derived_rng(self.seed, "sample", self._epoch, frame_index)
+        return self.rng
+
+    def _flip_prob(self, seq_name: str) -> float:
+        if self.seed is not None:
+            return derived_uniform(self.seed, "flip", self._epoch, seq_name)
+        return self.flip_prob_of_seqs.setdefault(seq_name, self.rng.uniform(0, 1))
 
     def __len__(self):
         n = len(self.index)
@@ -124,31 +141,38 @@ class DavisDataset:
 
     def __getitem__(self, frame_index: int):
         frame = self.index.frames[frame_index]
+        rng = self._sample_rng(frame_index)
         zero_depth = np.zeros((1, 1, 1), dtype=np.float32)
         sample = {"seq_name": frame.seq_name, "frame_index": frame.frame_id}
-        rgb, gt = self.load_frame(frame)
+        rgb, gt = self.load_frame(frame, rng=rng)
         sample["target"], sample["target_depth"], sample["target_gt"] = rgb, zero_depth, gt
 
         lo, hi = self.index.ranges[frame.seq_name]
         if self.sample_range >= 1:
             candidates = list(range(lo, hi))
             if self.sample_range <= len(candidates):
-                picks = self.rng.sample(candidates, self.sample_range)
+                picks = rng.sample(candidates, self.sample_range)
             else:
-                picks = self.rng.choices(candidates, k=self.sample_range)
+                picks = rng.choices(candidates, k=self.sample_range)
         else:
             picks = [frame_index]
         for i, idx in enumerate(picks):
-            cp_rgb, cp_gt = self.load_frame(self.index.frames[idx])
+            cp_rgb, cp_gt = self.load_frame(self.index.frames[idx], rng=rng)
             sample[f"search_{i}"] = cp_rgb
             sample[f"search_{i}_depth"] = zero_depth
             sample[f"search_{i}_gt"] = cp_gt
         return sample
 
-    def next_batch(self):
+    def next_batch(self, batch_index=None):
         """Redraw per-batch crop/scale ratios (reference :700-703); state is
-        thread-local so concurrent batch workers cannot leak ratios."""
-        self._ratios.redraw(self.rng)
+        thread-local so concurrent batch workers cannot leak ratios. With a
+        seeded dataset and a batch index, ratios derive deterministically
+        from (seed, epoch, batch_index) — scheduling-independent."""
+        if batch_index is not None and getattr(self, "seed", None) is not None:
+            self._ratios.redraw(derived_rng(self.seed, "ratios", getattr(self, "_epoch", 0), batch_index))
+        else:
+            self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
+        self._epoch += 1
         self.flip_prob_of_seqs.clear()

@@ -64,7 +64,10 @@ class BatchLoader:
         def load_batch(bi):
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
             if hasattr(self.dataset, "next_batch"):
-                self.dataset.next_batch()
+                try:
+                    self.dataset.next_batch(bi)  # deterministic per-batch ratios
+                except TypeError:
+                    self.dataset.next_batch()
             return collate([self.dataset[i] for i in idxs])
 
         if self.num_workers <= 1:

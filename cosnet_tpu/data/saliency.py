@@ -18,7 +18,7 @@ import cv2
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
-from cosnet_tpu.data.aug_state import AugRatios
+from cosnet_tpu.data.aug_state import AugRatios, derived_rng
 
 
 class SaliencyDataset:
@@ -39,6 +39,7 @@ class SaliencyDataset:
         self.batch_size = batch_size
         self.meanval = np.array(meanval, dtype=np.float32)
         self.static_shapes = static_shapes
+        self.seed = seed
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self.flip_prob = {}
         self._ratios = AugRatios()  # thread-local: per-worker == per-batch
@@ -92,10 +93,15 @@ class SaliencyDataset:
             "search_0": rgb.copy(), "search_0_depth": zero_depth, "search_0_gt": gt.copy(),
         }
 
-    def next_batch(self):
+    def next_batch(self, batch_index=None):
         """Redraw per-batch crop/scale ratios (reference :700-703); state is
-        thread-local so concurrent batch workers cannot leak ratios."""
-        self._ratios.redraw(self.rng)
+        thread-local so concurrent batch workers cannot leak ratios. With a
+        seeded dataset and a batch index, ratios derive deterministically
+        from (seed, epoch, batch_index) — scheduling-independent."""
+        if batch_index is not None and getattr(self, "seed", None) is not None:
+            self._ratios.redraw(derived_rng(self.seed, "ratios", getattr(self, "_epoch", 0), batch_index))
+        else:
+            self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
         self.flip_prob.clear()

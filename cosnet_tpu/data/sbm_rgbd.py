@@ -30,7 +30,7 @@ import cv2
 import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
-from cosnet_tpu.data.aug_state import AugRatios
+from cosnet_tpu.data.aug_state import AugRatios, derived_rng, derived_uniform
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord, split_index
 from cosnet_tpu.data.roi import Boundary, crop_to_roi, find_roi
 
@@ -79,7 +79,9 @@ class SbmRgbdDataset:
         self.log_func = log_func
         self.output_dir_for_debug = output_dir_for_debug
 
+        self.seed = seed
         self.rng = random.Random(seed) if seed is not None else random.Random()
+        self._epoch = 0
         self.roi: Dict[str, Boundary] = {}
         self.flip_prob_of_seqs: Dict[str, float] = {}
         self._ratios = AugRatios()  # thread-local: per-worker == per-batch
@@ -135,16 +137,17 @@ class SbmRgbdDataset:
         if self.log_func:
             self.log_func(msg)
 
-    def load_frame(self, frame: FrameRecord, channels: str = "rgbdt"):
+    def load_frame(self, frame: FrameRecord, channels: str = "rgbdt", rng=None):
         """Returns (rgb [H,W,3] f32, depth [H,W,1] f32, gt [H,W] u8)."""
         roi = self.roi.get(frame.seq_name)
         out_hw = self.output_HW
         train = self.for_training and self.augment_on_host
         offset = None
         rgb = depth = gt = None
+        rng = rng if rng is not None else self.rng
 
         if train:
-            flip_p = self.flip_prob_of_seqs.setdefault(frame.seq_name, self.rng.uniform(0, 1))
+            flip_p = self._flip_prob(frame.seq_name)
             static = out_hw if self.static_shapes else None
 
         if "rgb" in channels:
@@ -162,7 +165,7 @@ class SbmRgbdDataset:
                     img = cv2.resize(img, (out_hw[1], out_hw[0]))
             if train:
                 img, offset = augment_frame(
-                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static
                 )
             rgb = np.ascontiguousarray(img, dtype=np.float32)
         else:
@@ -180,7 +183,7 @@ class SbmRgbdDataset:
                     img = cv2.resize(img, (out_hw[1], out_hw[0]))
             if train:
                 img, offset = augment_frame(
-                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static
                 )
             depth = np.ascontiguousarray(img, dtype=np.float32)[:, :, None]
         else:
@@ -199,7 +202,7 @@ class SbmRgbdDataset:
                     img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
             if train:
                 img, offset = augment_frame(
-                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static
+                    img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, nearest=True, static_hw=static
                 )
             gt = np.ascontiguousarray(img, dtype=np.uint8)
         else:
@@ -229,6 +232,20 @@ class SbmRgbdDataset:
 
     # -- dataset protocol ---------------------------------------------------
 
+
+    def _sample_rng(self, frame_index: int):
+        """Per-sample RNG: deterministic (independent of worker scheduling)
+        when the dataset has an explicit seed; the shared Random otherwise
+        (reference semantics)."""
+        if self.seed is not None:
+            return derived_rng(self.seed, "sample", self._epoch, frame_index)
+        return self.rng
+
+    def _flip_prob(self, seq_name: str) -> float:
+        if self.seed is not None:
+            return derived_uniform(self.seed, "flip", self._epoch, seq_name)
+        return self.flip_prob_of_seqs.setdefault(seq_name, self.rng.uniform(0, 1))
+
     def __len__(self):
         n = len(self.index)
         if self.batch_size and n % self.batch_size != 0:
@@ -237,35 +254,42 @@ class SbmRgbdDataset:
 
     def __getitem__(self, frame_index: int):
         frame = self.index.frames[frame_index]
+        rng = self._sample_rng(frame_index)
         sample = {"seq_name": frame.seq_name, "frame_index": frame.frame_id}
-        rgb, depth, gt = self.load_frame(frame, self.channels_for_target_frame)
+        rgb, depth, gt = self.load_frame(frame, self.channels_for_target_frame, rng=rng)
         sample["target"], sample["target_depth"], sample["target_gt"] = rgb, depth, gt
 
         lo, hi = self.index.ranges[frame.seq_name]
         if self.sample_range >= 1:
             candidates = list(range(lo, hi))
             if self.sample_range <= len(candidates):
-                picks = self.rng.sample(candidates, self.sample_range)
+                picks = rng.sample(candidates, self.sample_range)
             else:
                 # Sequence shorter than sample_range: sample with replacement
                 # (the reference's random.sample would raise here).
-                picks = self.rng.choices(candidates, k=self.sample_range)
+                picks = rng.choices(candidates, k=self.sample_range)
         else:
             picks = [frame_index]  # self-pair (:562-563)
         for i, idx in enumerate(picks):
             cp = self.index.frames[idx]
-            c_rgb, c_depth, c_gt = self.load_frame(cp, self.channels_for_counterpart_frame)
+            c_rgb, c_depth, c_gt = self.load_frame(cp, self.channels_for_counterpart_frame, rng=rng)
             sample[f"search_{i}"] = c_rgb
             sample[f"search_{i}_depth"] = c_depth
             sample[f"search_{i}_gt"] = c_gt
         return sample
 
-    def next_batch(self):
+    def next_batch(self, batch_index=None):
         """Redraw per-batch crop/scale ratios (reference :700-703); state is
-        thread-local so concurrent batch workers cannot leak ratios."""
-        self._ratios.redraw(self.rng)
+        thread-local so concurrent batch workers cannot leak ratios. With a
+        seeded dataset and a batch index, ratios derive deterministically
+        from (seed, epoch, batch_index) — scheduling-independent."""
+        if batch_index is not None and getattr(self, "seed", None) is not None:
+            self._ratios.redraw(derived_rng(self.seed, "ratios", getattr(self, "_epoch", 0), batch_index))
+        else:
+            self._ratios.redraw(self.rng)
 
     def new_training_epoch(self):
+        self._epoch += 1
         self.flip_prob_of_seqs.clear()
 
     # -- validation heuristics (reference :294-338) -------------------------
