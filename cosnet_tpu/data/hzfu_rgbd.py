@@ -226,19 +226,11 @@ class HzfuRgbdDataset:
 
     def _debug_dump(self, frame, rgb, depth, gt, channels):
         """Re-render what the network sees (reference hzfu loader :407-429)."""
-        from PIL import Image
+        from cosnet_tpu.data.debug_dump import dump_frame_images
 
-        save_dir = os.path.join(self.output_dir_for_debug, frame.seq_name)
-        os.makedirs(save_dir, exist_ok=True)
-        if rgb.shape[0] > 1:
-            Image.fromarray(np.uint8(np.clip(rgb + self.meanval, 0, 255)), "RGB").save(
-                os.path.join(save_dir, f"{frame.frame_id}_rgb.png"))
-        if "d" in channels:
-            Image.fromarray(np.uint8(np.clip(depth[:, :, 0], 0, 255)), "L").save(
-                os.path.join(save_dir, f"{frame.frame_id}_depth.png"))
-        if "t" in channels:
-            Image.fromarray(np.uint8(gt * 255), "L").save(
-                os.path.join(save_dir, f"{frame.frame_id}_gt.png"))
+        dump_frame_images(self.output_dir_for_debug, frame.seq_name,
+                          f"{frame.frame_id}_rgb", f"{frame.frame_id}_depth",
+                          f"{frame.frame_id}_gt", rgb, depth, gt, channels, self.meanval)
 
     # -- dataset protocol ---------------------------------------------------
 

@@ -213,22 +213,11 @@ class SbmRgbdDataset:
         return rgb, depth, gt
 
     def _debug_dump(self, frame, rgb, depth, gt, channels):
-        from PIL import Image
+        from cosnet_tpu.data.debug_dump import dump_frame_images
 
-        save_dir = os.path.join(self.output_dir_for_debug, frame.seq_name)
-        os.makedirs(save_dir, exist_ok=True)
-        if "rgb" in channels:
-            Image.fromarray(np.uint8(rgb + self.meanval), "RGB").save(
-                os.path.join(save_dir, f"{frame.rgb_name}.png")
-            )
-        if "d" in channels:
-            Image.fromarray(np.uint8(depth[:, :, 0]), "L").save(
-                os.path.join(save_dir, f"{frame.depth_name}.png")
-            )
-        if "t" in channels:
-            Image.fromarray(np.uint8(gt * 255), "L").save(
-                os.path.join(save_dir, f"{frame.gt_name}.png")
-            )
+        dump_frame_images(self.output_dir_for_debug, frame.seq_name,
+                          frame.rgb_name, frame.depth_name, frame.gt_name,
+                          rgb, depth, gt, channels, self.meanval)
 
     # -- dataset protocol ---------------------------------------------------
 

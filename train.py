@@ -57,6 +57,9 @@ def get_arguments():
                         help="Resume from the newest snapshot for this dataset/model (failure recovery).")
     parser.add_argument("--device-augment", action="store_true",
                         help="Run crop/flip augmentation on-device (batched, jitted) instead of on the host.")
+    parser.add_argument("--debug-images", action="store_true",
+                        help="Dump what the network sees to <snapshot_dir>/debug "
+                             "(the reference does this unconditionally, train.py:533).")
     return parser.parse_args()
 
 
@@ -142,12 +145,13 @@ def main():
         seed=args.random_seed,
         augment_on_host=not args.device_augment,
     )
+    debug_dir = osp.join(snapshot_dir, "debug") if args.debug_images else None
     if args.dataset == "sbmrgbd":
         db_train = SbmRgbdDataset(ds_cfg.data_path, log_func=logger.write,
                                   use_native=args.use_native_data,
-                                  output_dir_for_debug=None, **common)
+                                  output_dir_for_debug=debug_dir, **common)
     elif args.dataset == "hzfurgbd":
-        db_train = HzfuRgbdDataset(ds_cfg.data_path, **common)
+        db_train = HzfuRgbdDataset(ds_cfg.data_path, output_dir_for_debug=debug_dir, **common)
     elif args.dataset == "davis":
         davis_cfg = user_config["train"]["dataset"]["davis"]
         common.pop("subset", None)
