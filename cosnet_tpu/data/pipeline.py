@@ -92,18 +92,28 @@ class BatchLoader:
                 yield fut.result()
 
 
-def device_prefetch(iterator: Iterator[dict], size: int = 2) -> Iterator[dict]:
-    """Double-buffered device transfer: keep ``size`` batches in flight on
-    the accelerator while the current one computes."""
+def device_prefetch(iterator: Iterator[dict], size: int = 2, put=None) -> Iterator:
+    """Double-buffered device transfer: keep ``size`` staged batches in
+    flight while the current one computes, so steady-state step time is
+    max(compute, input) instead of their sum (north star: "double-buffered
+    HBM prefetch"; replaces the reference's blocking per-step H2D copies,
+    ``train.py:568-578``).
+
+    ``put`` stages one host batch (device transfer / sharding / host-side
+    reshaping); transfers it enqueues are async, so they overlap the device
+    step running on the previous batch. Default: ``jax.device_put`` every
+    ndarray value of a batch dict.
+    """
     import jax
 
     queue = collections.deque()
 
-    def put(batch):
-        out = {}
-        for k, v in batch.items():
-            out[k] = jax.device_put(v) if isinstance(v, np.ndarray) else v
-        return out
+    if put is None:
+        def put(batch):
+            return {
+                k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                for k, v in batch.items()
+            }
 
     for batch in iterator:
         queue.append(put(batch))

@@ -85,7 +85,9 @@ class SaliencyDataset:
             gt, offset = augment_frame(gt, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, self.rng, nearest=True, static_hw=static)
         gt = np.ascontiguousarray(gt, dtype=np.uint8)
 
-        zero_depth = np.zeros((1, 1, 1), dtype=np.float32)
+        # Full-size zero depth ("no depth signal") so depth-consuming models
+        # (raa & ablations) can also pretrain on saliency data.
+        zero_depth = np.zeros((*rgb.shape[:2], 1), dtype=np.float32)
         return {
             "seq_name": name, "frame_index": "0",
             "target": rgb, "target_depth": zero_depth, "target_gt": gt,

@@ -56,20 +56,29 @@ class GroupedSGD:
     def init(self, params):
         return jax.tree.map(jnp.zeros_like, params)
 
-    def update(self, grads, momentum_buffers, params, lr, multipliers):
+    def update(self, grads, momentum_buffers, params, lr, multipliers, rates=None):
         """Returns (new_params, new_buffers). ``lr`` is the poly-scheduled
-        scalar; per-leaf rate = lr × multiplier."""
+        scalar; per-leaf rate = lr × rate, with ``rates`` defaulting to the
+        permanent ``multipliers`` tree. A separate ``rates`` tree supports
+        per-step LR overrides (the salient-object alternating schedule,
+        reference train.py:166-169) without touching the freeze mask: leaves
+        with multiplier 0 are *permanently* frozen (params and buffers
+        untouched, torch requires_grad=False semantics), while a rate of 0
+        merely skips the param update this step (torch lr=0: the momentum
+        buffer still integrates the gradient)."""
         mu, wd = self.momentum, self.weight_decay
+        if rates is None:
+            rates = multipliers
 
-        def step(g, buf, p, mult):
+        def step(g, buf, p, mult, rate):
             g = g + wd * p  # torch: decay on all updated params
             buf = mu * buf + g
-            new_p = p - lr * mult * buf
+            new_p = p - lr * rate * buf
             # frozen leaves (mult == 0) keep params AND buffers untouched
             keep = mult == 0.0
             return jnp.where(keep, p, new_p), jnp.where(keep, buf * 0.0, buf)
 
-        out = jax.tree.map(step, grads, momentum_buffers, params, multipliers)
+        out = jax.tree.map(step, grads, momentum_buffers, params, multipliers, rates)
         new_params = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
         new_buffers = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
         return new_params, new_buffers

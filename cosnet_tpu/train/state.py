@@ -35,7 +35,13 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def make_train_step(model, optimizer: GroupedSGD, ignore_counterpart_loss: bool = False, n_inputs: int = 4) -> Callable:
+def make_train_step(
+    model,
+    optimizer: GroupedSGD,
+    ignore_counterpart_loss: bool = False,
+    n_inputs: int = 4,
+    alternating: bool = False,
+) -> Callable:
     """Build the jit-able train step: forward (train mode, BN stats mutate) →
     dual-branch weighted-BCE+L1 loss → grads → grouped SGD update.
 
@@ -43,9 +49,14 @@ def make_train_step(model, optimizer: GroupedSGD, ignore_counterpart_loss: bool 
     depth-fusion ablations, 2 = the RGB-only co-attention nets). The step is
     pure; data-parallel execution comes from jitting it under a Mesh with the
     batch sharded on the 'data' axis (see cosnet_tpu/parallel).
+
+    With ``alternating=True`` the step takes a 4th ``salient`` bool: on
+    salient steps the encoder trains at 1×lr and the attention/depth/decoder
+    heads are held (the reference's dead salient-object branch,
+    ``train.py:166-169``: group0 ← lr, group1 ← 0 instead of 0.01×/10×).
     """
 
-    def train_step(state: TrainState, batch: dict, lr):
+    def train_step(state: TrainState, batch: dict, lr, salient=False):
         def loss_fn(params):
             inputs = [batch["target"], batch["search_0"]]
             if n_inputs >= 3:
@@ -67,7 +78,17 @@ def make_train_step(model, optimizer: GroupedSGD, ignore_counterpart_loss: bool 
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_params, new_mom = optimizer.update(grads, state.momentum, state.params, lr, state.multipliers)
+        rates = None
+        if alternating:
+            # Encoder leaves carry multiplier 0.01, heads 10, frozen BN 0
+            # (optim.group_multipliers); salient steps remap 0.01→1, 10→0.
+            rates = jax.tree.map(
+                lambda m: jnp.where(
+                    salient, jnp.where(m == 0.01, 1.0, 0.0), m
+                ),
+                state.multipliers,
+            )
+        new_params, new_mom = optimizer.update(grads, state.momentum, state.params, lr, state.multipliers, rates)
         new_state = state.replace(
             params=new_params, batch_stats=new_bs, momentum=new_mom, step=state.step + 1
         )

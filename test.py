@@ -39,6 +39,12 @@ def get_arguments():
                         help="pallas | einsum")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard the eval batch over all TPU chips (north-star config 5).")
+    parser.add_argument("--no-shuffle", action="store_true",
+                        help="Deterministic eval order. The reference shuffles its test "
+                             "loader (test.py:246-255, a preserved quirk); this opts out "
+                             "for reproducible sweeps.")
+    parser.add_argument("--no-prefetch", action="store_true",
+                        help="Disable double-buffered device prefetch (debugging).")
     return parser.parse_args()
 
 
@@ -143,7 +149,7 @@ def main():
     else:
         raise SystemExit("dataset error")
 
-    testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=True, drop_last=False)
+    testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=not args.no_shuffle, drop_last=False)
     print("======> test set size:", len(testloader))
 
     output_img_dir = None
@@ -164,31 +170,39 @@ def main():
         mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
         print(f"=====> eval sweep data-parallel over {mesh.devices.size} chip(s)")
 
-    iou_result, f_result, iou_counter = 0.0, 0.0, 0
-    frames_done, t_start = 0, time.time()
-    latencies = []
-    for index, batch in enumerate(testloader):
-        print("%d processd" % index)
-        b = batch["target"].shape[0]
+    def stage(batch):
+        """Stack the N reference frames + start async H2D transfer for one
+        batch; runs ahead of the compute loop inside the prefetcher so input
+        staging overlaps the previous batch's device time."""
         searches = np.stack([batch[f"search_{i}"] for i in range(sample_range)], axis=1)
         search_depths = np.stack([batch[f"search_{i}_depth"] for i in range(sample_range)], axis=1)
-        t0 = time.time()
+        dev_batch = {"target": batch["target"], "searches": searches,
+                     "target_depth": batch["target_depth"], "search_depths": search_depths}
+        n_real = batch["target"].shape[0]
         if mesh is not None:
             from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
 
-            dev_batch, n_real = pad_batch_to_multiple(
-                {"target": batch["target"], "searches": searches,
-                 "target_depth": batch["target_depth"], "search_depths": search_depths},
-                mesh.devices.size,
-            )
+            dev_batch, n_real = pad_batch_to_multiple(dev_batch, mesh.devices.size)
             with mesh:
                 dev_batch = shard_batch(dev_batch, mesh)
-                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
-                               dev_batch["target_depth"], dev_batch["search_depths"])
-            mask = np.asarray(mask)[:n_real]
         else:
-            mask = forward(variables, batch["target"], searches, batch["target_depth"], search_depths)
-            mask = np.asarray(mask)  # [B, H, W, 1]
+            dev_batch = {k: jax.device_put(v) for k, v in dev_batch.items()}
+        return batch, dev_batch, n_real
+
+    from cosnet_tpu.data.pipeline import device_prefetch
+
+    staged = map(stage, iter(testloader)) if args.no_prefetch \
+        else device_prefetch(iter(testloader), put=stage)
+    iou_result, f_result, iou_counter = 0.0, 0.0, 0
+    frames_done, t_start = 0, time.time()
+    latencies = []
+    for index, (batch, dev_batch, n_real) in enumerate(staged):
+        print("%d processd" % index)
+        b = batch["target"].shape[0]
+        t0 = time.time()
+        mask = forward(variables, dev_batch["target"], dev_batch["searches"],
+                       dev_batch["target_depth"], dev_batch["search_depths"])
+        mask = np.asarray(mask)[:n_real]
         latencies.append((time.time() - t0) / b)
         frames_done += b
 

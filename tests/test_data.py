@@ -93,3 +93,19 @@ def test_validation_heuristics(tree):
     result = ds.validate_frame(ds.index.frames[0], channels="dt")
     assert result["gt"][0] is None  # ~17% foreground: healthy
     assert result["depth"][0] is None  # random depth: not mostly-zero
+
+
+def test_device_prefetch_preserves_order_and_stages():
+    from cosnet_tpu.data.pipeline import device_prefetch
+
+    batches = [{"x": np.full((2, 2), i, np.float32), "name": [f"b{i}"]} for i in range(7)]
+
+    # default put: device_put ndarrays, pass lists through
+    out = list(device_prefetch(iter(batches), size=2))
+    assert [o["name"][0] for o in out] == [f"b{i}" for i in range(7)]
+    assert all(float(out[i]["x"][0, 0]) == i for i in range(7))
+
+    # custom put: arbitrary staging object
+    staged = list(device_prefetch(iter(batches), size=3, put=lambda b: (b["name"][0], b["x"].sum())))
+    assert [s[0] for s in staged] == [f"b{i}" for i in range(7)]
+    assert staged[3][1] == 12.0

@@ -193,3 +193,28 @@ def test_train_step_on_2d_multi_host_mesh():
     a = np.asarray(ref_state.params["gate"]["kernel"])
     b = np.asarray(dp_state.params["gate"]["kernel"])
     np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-5)
+
+
+def test_alternating_salient_step_freezes_heads():
+    """Reference train.py:166-169 (dead branch): on salient steps group0
+    (encoder) trains at 1x lr and group1 (attention/depth/decoder) at 0."""
+    model, state, _, batch = _tiny_setup()
+    optimizer = GroupedSGD()
+    step = jax.jit(make_train_step(model, optimizer, alternating=True))
+
+    enc0 = np.asarray(state.params["encoder"]["backbone"]["conv1"]["kernel"])
+    gate0 = np.asarray(state.params["gate"]["kernel"])
+
+    s_sal, _ = step(state, batch, 1e-4, True)
+    assert not np.array_equal(np.asarray(s_sal.params["encoder"]["backbone"]["conv1"]["kernel"]), enc0)
+    np.testing.assert_array_equal(np.asarray(s_sal.params["gate"]["kernel"]), gate0)
+    # momentum still integrates the head gradient on the frozen step (torch lr=0)
+    assert np.any(np.asarray(s_sal.momentum["gate"]["kernel"]) != 0)
+
+    s_norm, _ = step(state, batch, 1e-4, False)
+    assert not np.array_equal(np.asarray(s_norm.params["gate"]["kernel"]), gate0)
+    # permanently frozen downsample-BN never moves in either mode
+    np.testing.assert_array_equal(
+        np.asarray(s_sal.params["encoder"]["backbone"]["layer1_0"]["downsample_bn"]["scale"]),
+        np.asarray(state.params["encoder"]["backbone"]["layer1_0"]["downsample_bn"]["scale"]),
+    )

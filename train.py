@@ -34,7 +34,11 @@ def get_arguments():
     parser.add_argument("--power", type=float, default=0.9,
                         help="Polynomial LR decay power.")
     parser.add_argument("--dataset", type=str, default="sbmrgbd",
-                        help="sbmrgbd, hzfurgbd, or davis (RGB-only models).")
+                        help="sbmrgbd, hzfurgbd, davis, or saliency (static-image "
+                             "co-attention pretraining on the config's saliency_dataset).")
+    parser.add_argument("--saliency-alternating", action="store_true",
+                        help="Every 3rd step trains the encoder at 1xlr with heads frozen "
+                             "(the reference's dead salient-object branch, train.py:166-169).")
     parser.add_argument("--random-mirror", action="store_true")
     parser.add_argument("--random-scale", action="store_true")
     parser.add_argument("--not-restore-last", action="store_true")
@@ -60,6 +64,12 @@ def get_arguments():
     parser.add_argument("--debug-images", action="store_true",
                         help="Dump what the network sees to <snapshot_dir>/debug "
                              "(the reference does this unconditionally, train.py:533).")
+    parser.add_argument("--validate-data", action="store_true",
+                        help="Scan the training frames with the depth/gt sanity heuristics "
+                             "(reference __validate_frame, sbm_rgbd_loader.py:294-338 — "
+                             "disabled there; opt-in here) and log flagged frames.")
+    parser.add_argument("--no-prefetch", action="store_true",
+                        help="Disable double-buffered device prefetch (debugging).")
     return parser.parse_args()
 
 
@@ -74,6 +84,7 @@ def main():
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.data import BatchLoader, HzfuRgbdDataset, SbmRgbdDataset
+    from cosnet_tpu.data.pipeline import device_prefetch
     from cosnet_tpu.data.davis import DavisDataset
     from cosnet_tpu.models import create_model, init_variables, model_input_signature
     from cosnet_tpu.parallel import data_parallel_mesh, shard_batch, replicate
@@ -87,7 +98,10 @@ def main():
     )
 
     user_config = cfg.load_yaml("config.yaml")
-    ds_cfg = cfg.TrainDatasetConfig.from_config(user_config, args.dataset)
+    # Saliency pretraining borrows the davis training geometry — the reference
+    # attaches `saliency_datasets` to the davis train block (config.yaml:54-56).
+    ds_cfg = cfg.TrainDatasetConfig.from_config(
+        user_config, "davis" if args.dataset == "saliency" else args.dataset)
     full_name = cfg.full_model_name(args.model)
     restore_from = cfg.train_initial_params(user_config, full_name)
 
@@ -156,8 +170,33 @@ def main():
         davis_cfg = user_config["train"]["dataset"]["davis"]
         common.pop("subset", None)
         db_train = DavisDataset(ds_cfg.data_path, subset_file=davis_cfg.get("subset_file"), **common)
+    elif args.dataset == "saliency":
+        from cosnet_tpu.data.saliency import SaliencyDataset
+
+        sal = user_config["train"]["saliency_dataset"]
+        wanted = user_config["train"]["dataset"]["davis"].get("saliency_datasets")
+        datasets = {k: v for k, v in sal["datasets"].items() if not wanted or k in wanted}
+        db_train = SaliencyDataset(
+            sal["root_path"], datasets, output_HW=ds_cfg.output_HW,
+            for_training=True, batch_size=ds_cfg.batch_size, seed=args.random_seed,
+        )
+        if len(db_train) == 0:
+            raise SystemExit(f"no saliency image/mask pairs under {sal['root_path']}")
     else:
         raise SystemExit("dataset error")
+
+    if args.validate_data and hasattr(db_train, "validate_frame"):
+        print("=====> Validating training frames (depth/gt heuristics)")
+        flagged = 0
+        for rec in db_train.index.frames:
+            findings = db_train.validate_frame(rec)
+            issues = [f"{k}[{i}]={v}" for k, vals in findings.items()
+                      for i, v in enumerate(vals) if v is not None]
+            if issues:
+                flagged += 1
+                logger.write(f"[validate] {rec.seq_name}/{rec.frame_id}: {', '.join(issues)}\n")
+        logger.write(f"[validate] {flagged}/{len(db_train.index.frames)} frames flagged\n")
+        print(f"    {flagged}/{len(db_train.index.frames)} frames flagged (see log)")
 
     mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
     n_dev = mesh.devices.size
@@ -165,7 +204,8 @@ def main():
     if ds_cfg.batch_size % n_dev != 0:
         raise SystemExit(f"batch_size {ds_cfg.batch_size} must divide the {n_dev}-device mesh")
 
-    train_step = make_train_step(model, optimizer, n_inputs=n_inputs)
+    train_step = make_train_step(model, optimizer, n_inputs=n_inputs,
+                                 alternating=args.saliency_alternating)
     jitted_step = jax.jit(train_step, donate_argnums=0)
 
     trainloader = BatchLoader(db_train, batch_size=ds_cfg.batch_size, shuffle=True, seed=args.random_seed)
@@ -202,18 +242,29 @@ def main():
         state = replicate(state, mesh)
         loss_history = []
         batch_keys = ["target", "target_depth", "target_gt", "search_0", "search_0_depth", "search_0_gt"]
+        def stage(batch):
+            """Shard + (optionally) device-augment one host batch; runs ahead
+            of the compute step inside the prefetcher so H2D transfers overlap
+            the previous step's device time."""
+            db = shard_batch({k: batch[k] for k in batch_keys}, mesh)
+            if args.device_augment:
+                db["_seqs"] = batch["seq_name"]
+                db = device_augment(db)
+            return db
+
         for epoch in range(start_epoch, int(ds_cfg.max_epoches)):
             print("......epoch=", epoch)
             np.random.seed(args.random_seed + epoch)
             db_train.new_training_epoch()
-            for i_iter, batch in enumerate(trainloader):
+            batches = map(stage, iter(trainloader)) if args.no_prefetch \
+                else device_prefetch(iter(trainloader), put=stage)
+            for i_iter, device_batch in enumerate(batches):
                 log_device_memory(logger, " Start batch")
                 lr = float(lr_poly(args.learning_rate, i_iter + epoch * train_len, max_iter, args.power, epoch))
-                device_batch = shard_batch({k: batch[k] for k in batch_keys}, mesh)
-                if args.device_augment:
-                    device_batch["_seqs"] = batch["seq_name"]
-                    device_batch = device_augment(device_batch)
-                state, loss = jitted_step(state, device_batch, lr)
+                if args.saliency_alternating:
+                    state, loss = jitted_step(state, device_batch, lr, i_iter % 3 == 0)
+                else:
+                    state, loss = jitted_step(state, device_batch, lr)
                 loss = float(loss)
                 log_device_memory(logger, " After step")
                 loss_history.append(loss)
