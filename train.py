@@ -225,17 +225,18 @@ def main():
         flip_of_seq = {}
 
         def device_augment(db):
-            """Batched on-device crop/flip with the reference's RNG sharing
-            protocol; offsets per frame, flips per sequence, ratio per batch."""
+            """Batched on-device crop→scale→flip with the reference's RNG
+            sharing protocol; offsets per frame, flips per sequence,
+            crop/scale ratios per batch (shared by target and search)."""
             seqs = db.pop("_seqs")
-            off_t, ratio, flips = draw_augmentation_params(aug_rng, seqs, flip_of_seq, ds_cfg.output_HW)
-            off_s, _, _ = draw_augmentation_params(aug_rng, seqs, flip_of_seq, ds_cfg.output_HW)
-            db["target"] = augment_batch(db["target"], off_t, ratio, flips)
-            db["target_depth"] = augment_batch(db["target_depth"], off_t, ratio, flips)
-            db["target_gt"] = augment_batch(db["target_gt"].astype(np.float32), off_t, ratio, flips, nearest=True)
-            db["search_0"] = augment_batch(db["search_0"], off_s, ratio, flips)
-            db["search_0_depth"] = augment_batch(db["search_0_depth"], off_s, ratio, flips)
-            db["search_0_gt"] = augment_batch(db["search_0_gt"].astype(np.float32), off_s, ratio, flips, nearest=True)
+            off_t, crop, scale, flips = draw_augmentation_params(aug_rng, seqs, flip_of_seq, ds_cfg.output_HW)
+            off_s, _, _, _ = draw_augmentation_params(aug_rng, seqs, flip_of_seq, ds_cfg.output_HW, ratios=(crop, scale))
+            db["target"] = augment_batch(db["target"], off_t, crop, scale, flips)
+            db["target_depth"] = augment_batch(db["target_depth"], off_t, crop, scale, flips)
+            db["target_gt"] = augment_batch(db["target_gt"].astype(np.float32), off_t, crop, scale, flips, nearest=True)
+            db["search_0"] = augment_batch(db["search_0"], off_s, crop, scale, flips)
+            db["search_0_depth"] = augment_batch(db["search_0_depth"], off_s, crop, scale, flips)
+            db["search_0_gt"] = augment_batch(db["search_0_gt"].astype(np.float32), off_s, crop, scale, flips, nearest=True)
             return db
 
     with mesh, trace(args.profile_dir or None):
