@@ -1,12 +1,12 @@
-"""Fused co-attention kernel — flash-style streaming cross-attention on TPU.
+"""Fused co-attention kernels — flash-style streaming cross-attention on TPU.
 
 The reference materializes the full HW×HW affinity matrix in HBM twice
 (row- and column-softmax copies, ``rgbd_segmentation_RAA.py:158-170``): at
 480×854 eval resolution that is 2×~170 MB per pair per step and is the
 memory-bound core of the model (SURVEY.md §3.3). Here the affinity +
-softmax + weighted readback triple is fused into a single Pallas kernel that
-streams key/value tiles through VMEM with an online softmax — the HW×HW
-matrix never exists in HBM.
+softmax + weighted readback triple is fused into Pallas kernels that stream
+key/value tiles through VMEM with an online softmax — the HW×HW matrix never
+exists in HBM, in either the forward or the backward pass.
 
 Both co-attention directions are instances of one primitive
 
@@ -16,12 +16,20 @@ because with P = A@W (the projected features):
     Z_a = flash_xattn(P, B, B)      # row softmax over frame-b positions
     Z_b = flash_xattn(B, P, A)      # col softmax over frame-a positions
 
-Grid: (batch, q-tiles, k-tiles) with k innermost so Mosaic double-buffers
-the streamed k/v DMAs; running max/denominator live in VMEM scratch and the
-output block is revisited (finalized on the last k-tile).
+Forward grid: (batch, q-tiles, k-tiles) with k innermost so Mosaic
+double-buffers the streamed k/v DMAs; running max/denominator live in VMEM
+scratch, the output block is revisited (finalized on the last k-tile), and
+the per-row logsumexp L = m + log(l) is emitted as a second output.
 
-The op is differentiable: the VJP recomputes through the einsum reference
-(exact same math), which is cheap at training resolution.
+Backward (flash-attention-2 style, recompute from (q, k, v, L)):
+
+    Pᵢⱼ = exp(Sᵢⱼ − Lᵢ);   Δᵢ = Σ_c doᵢ_c·oᵢ_c − dLᵢ
+    dV = Pᵀ·do;   dS = P ∘ (do·Vᵀ − Δ);   dQ = dS·K;   dK = dSᵀ·Q
+
+run as two streaming kernels (dq over k-tiles; dk/dv over q-tiles), so
+training at 480×854 never materializes the affinity either. Supporting a dL
+cotangent makes the (o, lse) pair itself differentiable, which is what the
+ring context-parallel combine needs (cosnet_tpu/parallel/context_parallel.py).
 """
 import functools
 
@@ -33,7 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, block_k: int, lk: int):
+def _row_mask(ref_block, valid, axis0_offset):
+    """Zero the out-of-bounds rows of a streamed [rows, C] tile (partial edge
+    blocks are implicitly padded with undefined memory; 0-weight × NaN would
+    still poison a matmul accumulation)."""
+    rows = axis0_offset + jax.lax.broadcasted_iota(jnp.int32, ref_block.shape, 0)
+    return jnp.where(rows < valid, ref_block, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, block_k: int, lk: int):
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -57,11 +78,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, block_k:
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    # Zero v's out-of-bounds rows: partial edge blocks are implicitly padded
-    # with undefined values, and 0-weight × NaN would still poison the acc.
-    v = v_ref[0]
-    vrow = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    v = jnp.where(vrow < lk, v, 0.0)
+    v = _row_mask(v_ref[0], lk, kj * block_k)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -71,51 +88,38 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, block_k:
     @pl.when(kj == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # lse is stored lane-broadcast ([.., 128]) — TPU block shapes need a
+        # 128 last dim (same layout as jax's own TPU flash attention).
+        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512, interpret: bool | None = None):
-    """softmax(q @ kᵀ) @ v without materializing the Lq×Lk matrix.
-
-    Args:
-      q: [N, Lq, C]; k, v: [N, Lk, C]. No softmax scaling (reference has none).
-    Returns: [N, Lq, C] in q's dtype.
-
-    Inputs are passed to the kernel UNPADDED: Pallas implicitly masks partial
-    edge blocks (HW = h·w is never tile-aligned, and explicit ``jnp.pad``
-    copies cost ~26% of the whole model's step time — measured via xplane
-    trace at 480×854 batch 8). Padded key columns are masked to −inf inside
-    the kernel; padded query rows only produce discarded output rows.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n, lq, c_in = q.shape
+def _flash_fwd_impl(q, k, v, block_q: int, block_k: int, interpret: bool):
+    """(o, lse) = streaming softmax(q @ kᵀ) @ v. Inputs channel-aligned."""
+    n, lq, c = q.shape
     lk = k.shape[1]
     bq = min(block_q, _round_up(lq, 8))
     bk = min(block_k, _round_up(lk, 8))
-    c = c_in
-    if c % 128 != 0:
-        # Channel padding is rare (C=256 in this model); pay the copy.
-        c = _round_up(c_in, 128)
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, c - c_in)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, c - c_in)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, c - c_in)))
-
     grid = (n, pl.cdiv(lq, bq), pl.cdiv(lk, bk))
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=bk, lk=lk),
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, block_k=bk, lk=lk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, c), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, c), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, lq, c), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, lq, c), q.dtype),
+            jax.ShapeDtypeStruct((n, lq, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, c), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -128,16 +132,215 @@ def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512, interpret: bool
         ),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :, :c_in] if c != c_in else out
 
 
-@jax.custom_vjp
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *, block_k: int, lk: int):
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = _row_mask(k_ref[0], lk, kj * block_k)
+    v = _row_mask(v_ref[0], lk, kj * block_k)
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]      # [Bq, 1] (lane-broadcast storage)
+    delta = delta_ref[0][:, :1]  # [Bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(col < lk, p, 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    ds = jnp.where(col < lk, ds, 0.0)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, dv_ref,
+                      acck_ref, accv_ref, *, block_q: int, lq: int):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        acck_ref[:] = jnp.zeros_like(acck_ref)
+        accv_ref[:] = jnp.zeros_like(accv_ref)
+
+    q = _row_mask(q_ref[0], lq, qi * block_q)
+    do = _row_mask(do_ref[0], lq, qi * block_q)
+    k = k_ref[0]
+    v = v_ref[0]
+    lse = lse_ref[0][:, :1]      # [Bq, 1] (lane-broadcast storage)
+    delta = delta_ref[0][:, :1]  # [Bq, 1]
+
+    # q-major layout throughout (MXU contracts transposed operands natively;
+    # explicit [Bk, Bq] relayouts would be VPU shuffles).
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [Bq, Bk]
+    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    p = jnp.where(row < lq, jnp.exp(s - lse), 0.0)
+    # dv += pᵀ·do  (contract the shared Bq axis)
+    accv_ref[:] = accv_ref[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [Bq, Bk]
+    ds = jnp.where(row < lq, p * (dp - delta), 0.0)
+    # dk += dsᵀ·q
+    acck_ref[:] = acck_ref[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = acck_ref[:].astype(dk_ref.dtype)
+        dv_ref[0] = accv_ref[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q: int, block_k: int, interpret: bool):
+    n, lq, c = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, _round_up(lq, 8))
+    bk = min(block_k, _round_up(lk, 8))
+    # Δ = Σ_c do·o − dL : one cheap fused elementwise+reduce in XLA; stored
+    # lane-broadcast like lse (TPU block shapes need a 128 last dim).
+    delta = jnp.sum(do * o, axis=-1) - jnp.sum(dlse, axis=-1)  # [n, lq] f32
+    delta = jnp.broadcast_to(delta[..., None], (n, lq, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=bk, lk=lk),
+        grid=(n, pl.cdiv(lq, bq), pl.cdiv(lk, bk)),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, lq, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * n * lq * lk * c,
+            bytes_accessed=4 * n * lq * c * 4,
+            transcendentals=n * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_q=bq, lq=lq),
+        grid=(n, pl.cdiv(lk, bk), pl.cdiv(lq, bq)),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, c), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, c), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda b, j, i: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, c), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, lk, c), k.dtype),
+            jax.ShapeDtypeStruct((n, lk, c), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, c), jnp.float32),
+            pltpu.VMEM((bk, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * n * lq * lk * c,
+            bytes_accessed=4 * n * lk * c * 4,
+            transcendentals=n * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, do, lse, delta, k, v)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Differentiable primitive
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, block_q, block_k, interpret):
+    return _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_vjp_fwd(q, k, v, block_q, block_k, interpret):
+    o, lse = _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(block_q, block_k, interpret, residuals, cotangents):
+    q, k, v, o, lse = residuals
+    do, dlse = cotangents
+    return _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q, block_k, interpret)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "return_lse"))
+def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512,
+                interpret: bool | None = None, return_lse: bool = False):
+    """softmax(q @ kᵀ) @ v without materializing the Lq×Lk matrix — in
+    forward *or* backward (flash-style VJP, see module docstring).
+
+    Args:
+      q: [N, Lq, C]; k, v: [N, Lk, C]. No softmax scaling (reference has none).
+      return_lse: also return the per-row logsumexp [N, Lq] f32 — the online-
+        softmax partial that lets ring context parallelism combine per-shard
+        results exactly.
+    Returns: [N, Lq, C] in q's dtype (and lse when requested).
+
+    Inputs are passed to the kernels UNPADDED: Pallas implicitly masks partial
+    edge blocks (HW = h·w is never tile-aligned, and explicit ``jnp.pad``
+    copies cost ~26% of the whole model's step time — measured via xplane
+    trace at 480×854 batch 8). Padded key columns are masked inside the
+    kernels; padded query rows only produce discarded output rows.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c_in = q.shape[-1]
+    c = c_in
+    if c % 128 != 0:
+        # Channel padding is rare (C=256 in this model); pay the copy. The
+        # VJP of pad slices the gradients back automatically.
+        c = _round_up(c_in, 128)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, c - c_in)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, c - c_in)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, c - c_in)))
+    o, lse = _flash(q, k, v, block_q, block_k, interpret)
+    if c != c_in:
+        o = o[:, :, :c_in]
+    return (o, lse[:, :, 0]) if return_lse else o
+
+
 def coattention_pallas(va, vb, kernel):
-    """Fused bidirectional co-attention (see cosnet_tpu/nn/coattention.py)."""
-    return _coattention_pallas_fwd_impl(va, vb, kernel)
+    """Fused bidirectional co-attention (see cosnet_tpu/nn/coattention.py).
 
-
-def _coattention_pallas_fwd_impl(va, vb, kernel):
+    Plain composition of the projection einsum and two flash passes; autodiff
+    flows through ``flash_xattn``'s custom VJP, so neither direction's HW×HW
+    affinity is ever materialized under grad either.
+    """
     n, h, w, c = va.shape
     hb, wb = vb.shape[1:3]
     a = va.reshape(n, h * w, c)
@@ -146,19 +349,3 @@ def _coattention_pallas_fwd_impl(va, vb, kernel):
     z_a = flash_xattn(p, b, b)
     z_b = flash_xattn(b, p, a)
     return z_a.reshape(n, h, w, c), z_b.reshape(n, hb, wb, c)
-
-
-def _fwd(va, vb, kernel):
-    out = _coattention_pallas_fwd_impl(va, vb, kernel)
-    return out, (va, vb, kernel)
-
-
-def _bwd(residuals, cotangents):
-    from cosnet_tpu.nn.coattention import coattention_einsum
-
-    va, vb, kernel = residuals
-    _, vjp = jax.vjp(coattention_einsum, va, vb, kernel)
-    return vjp(cotangents)
-
-
-coattention_pallas.defvjp(_fwd, _bwd)

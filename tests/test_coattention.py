@@ -85,3 +85,55 @@ def test_pallas_gradients_match_einsum(data):
     ge = jax.grad(loss_e, argnums=(0, 1, 2))(jnp.asarray(va), jnp.asarray(vb), kern)
     for p, e in zip(gp, ge):
         np.testing.assert_allclose(np.asarray(p), np.asarray(e), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("lq,lk", [(300, 300), (530, 37), (257, 513)])
+def test_flash_backward_multitile_matches_xla(lq, lk):
+    """The flash VJP kernels (streaming dq / dk+dv) vs autodiff through the
+    unfused softmax, at lengths spanning several non-aligned tiles."""
+    rng = np.random.default_rng(lq + lk)
+    c = 128
+    q = jnp.asarray(rng.standard_normal((2, lq, c), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, lk, c), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, lk, c), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((lq, c), dtype=np.float32))
+
+    def loss_flash(q_, k_, v_):
+        return jnp.sum(flash_xattn(q_, k_, v_, block_q=128, block_k=128) * w)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum((jax.nn.softmax(q_ @ k_.transpose(0, 2, 1), axis=-1) @ v_) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        # unscaled C=128 dot products make a sharp softmax; tile-order float
+        # accumulation differs from XLA's by ~1e-4 on a few elements
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
+
+
+def test_flash_lse_value_and_cotangent():
+    """return_lse: value matches logsumexp, and a cotangent flowing into lse
+    (the ring-CP combine path) differentiates correctly."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((1, 200, 128), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 160, 128), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 160, 128), dtype=np.float32))
+
+    _, lse = flash_xattn(q, k, v, block_q=64, block_k=64, return_lse=True)
+    want_lse = jax.nn.logsumexp(q @ k.transpose(0, 2, 1), axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse), rtol=1e-5, atol=1e-5)
+
+    def loss_flash(q_, k_, v_):
+        o, l = flash_xattn(q_, k_, v_, block_q=64, block_k=64, return_lse=True)
+        return jnp.sum(o) * 0.1 + jnp.sum(jnp.sin(l))
+
+    def loss_ref(q_, k_, v_):
+        s = q_ @ k_.transpose(0, 2, 1)
+        o = jax.nn.softmax(s, axis=-1) @ v_
+        return jnp.sum(o) * 0.1 + jnp.sum(jnp.sin(jax.nn.logsumexp(s, axis=-1)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

@@ -218,3 +218,21 @@ def test_alternating_salient_step_freezes_heads():
         np.asarray(s_sal.params["encoder"]["backbone"]["layer1_0"]["downsample_bn"]["scale"]),
         np.asarray(state.params["encoder"]["backbone"]["layer1_0"]["downsample_bn"]["scale"]),
     )
+
+
+def test_train_step_through_pallas_backward():
+    """--coattention-backend pallas now trains through the flash VJP kernels
+    (no einsum fallback, no HW x HW affinity under grad)."""
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=BLOCKS, num_blocks_depth=BLOCKS,
+                                coattention_backend="pallas")
+    _, state, _, batch = _tiny_setup()
+    optimizer = GroupedSGD()
+    step_p = jax.jit(make_train_step(model, optimizer))
+    step_e = jax.jit(make_train_step(model.clone(coattention_backend="einsum"), optimizer))
+
+    sp, lp = step_p(state, batch, 1e-4)
+    se, le = step_e(state, batch, 1e-4)
+    np.testing.assert_allclose(float(lp), float(le), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sp.params["gate"]["kernel"]),
+        np.asarray(se.params["gate"]["kernel"]), rtol=1e-4, atol=1e-6)
