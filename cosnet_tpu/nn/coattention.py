@@ -45,11 +45,17 @@ def coattention_einsum(va, vb, kernel):
 
 
 def coattention(va, vb, kernel, backend: str = "einsum"):
-    """Dispatch to the einsum reference or the fused Pallas kernel."""
+    """Dispatch: einsum reference, fused Pallas kernel, or a context-parallel
+    variant ('ring' / 'ulysses' — tokens sharded over the mesh installed by
+    cosnet_tpu.parallel.context_parallel.enable_context_parallel)."""
     if backend == "einsum":
         return coattention_einsum(va, vb, kernel)
     if backend == "pallas":
         from cosnet_tpu.ops.coattention_pallas import coattention_pallas
 
         return coattention_pallas(va, vb, kernel)
+    if backend in ("ring", "ulysses"):
+        from cosnet_tpu.parallel.context_parallel import coattention_cp
+
+        return coattention_cp(va, vb, kernel, variant=backend)
     raise ValueError(f"unknown coattention backend: {backend}")

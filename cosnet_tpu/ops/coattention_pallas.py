@@ -54,9 +54,10 @@ def _row_mask(ref_block, valid, axis0_offset):
 # ---------------------------------------------------------------------------
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, block_k: int, lk: int):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, block_k: int):
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
+    lk = valid_ref[0, 0]  # runtime key count (≤ static Lk; ring-CP chunk tails)
 
     @pl.when(kj == 0)
     def _init():
@@ -75,8 +76,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref
     m_prev = m_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    # A fully-masked tile (runtime valid below the tile start) keeps m at
+    # −inf; compute against a finite stand-in so exp(−inf − −inf) can't NaN.
+    m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+    alpha = jnp.exp(m_prev - m_safe)
+    p = jnp.exp(s - m_safe)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     v = _row_mask(v_ref[0], lk, kj * block_k)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -87,7 +91,10 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref
 
     @pl.when(kj == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # Rows with zero valid keys finalize to o=0, lse=−inf — exactly the
+        # identity element of the online-softmax combine (ring CP).
+        l_safe = jnp.where(l_ref[:, :1] == 0.0, 1.0, l_ref[:, :1])
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
         # lse is stored lane-broadcast ([.., 128]) — TPU block shapes need a
         # 128 last dim (same layout as jax's own TPU flash attention).
         lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
@@ -97,20 +104,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _flash_fwd_impl(q, k, v, block_q: int, block_k: int, interpret: bool):
-    """(o, lse) = streaming softmax(q @ kᵀ) @ v. Inputs channel-aligned."""
+def _flash_fwd_impl(q, k, v, valid, block_q: int, block_k: int, interpret: bool):
+    """(o, lse) = streaming softmax(q @ kᵀ) @ v. Inputs channel-aligned;
+    ``valid`` is the runtime key count as a (1, 1) i32 array."""
     n, lq, c = q.shape
     lk = k.shape[1]
     bq = min(block_q, _round_up(lq, 8))
     bk = min(block_k, _round_up(lk, 8))
     grid = (n, pl.cdiv(lq, bq), pl.cdiv(lk, bk))
     return pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=bk, lk=lk),
+        functools.partial(_flash_fwd_kernel, block_k=bk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, c), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, c), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
@@ -131,7 +140,7 @@ def _flash_fwd_impl(q, k, v, block_q: int, block_k: int, interpret: bool):
             transcendentals=n * lq * lk,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -139,9 +148,10 @@ def _flash_fwd_impl(q, k, v, block_q: int, block_k: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *, block_k: int, lk: int):
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref, dq_ref, acc_ref, *, block_k: int):
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
+    lk = valid_ref[0, 0]
 
     @pl.when(kj == 0)
     def _init():
@@ -209,7 +219,7 @@ def _flash_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, d
         dv_ref[0] = accv_ref[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q: int, block_k: int, interpret: bool):
+def _flash_bwd_impl(q, k, v, valid, o, lse, do, dlse, block_q: int, block_k: int, interpret: bool):
     n, lq, c = q.shape
     lk = k.shape[1]
     bq = min(block_q, _round_up(lq, 8))
@@ -220,7 +230,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q: int, block_k: int, inter
     delta = jnp.broadcast_to(delta[..., None], (n, lq, 128))
 
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, block_k=bk, lk=lk),
+        functools.partial(_flash_dq_kernel, block_k=bk),
         grid=(n, pl.cdiv(lq, bq), pl.cdiv(lk, bk)),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
@@ -229,6 +239,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q: int, block_k: int, inter
             pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, c), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, lq, c), q.dtype),
@@ -239,7 +250,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q: int, block_k: int, inter
             transcendentals=n * lq * lk,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, delta, valid)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, block_q=bq, lq=lq),
@@ -279,20 +290,21 @@ def _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q: int, block_k: int, inter
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, block_q, block_k, interpret):
-    return _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, valid, block_q, block_k, interpret):
+    return _flash_fwd_impl(q, k, v, valid, block_q, block_k, interpret)
 
 
-def _flash_vjp_fwd(q, k, v, block_q, block_k, interpret):
-    o, lse = _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
-    return (o, lse), (q, k, v, o, lse)
+def _flash_vjp_fwd(q, k, v, valid, block_q, block_k, interpret):
+    o, lse = _flash_fwd_impl(q, k, v, valid, block_q, block_k, interpret)
+    return (o, lse), (q, k, v, valid, o, lse)
 
 
 def _flash_vjp_bwd(block_q, block_k, interpret, residuals, cotangents):
-    q, k, v, o, lse = residuals
+    q, k, v, valid, o, lse = residuals
     do, dlse = cotangents
-    return _flash_bwd_impl(q, k, v, o, lse, do, dlse, block_q, block_k, interpret)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, valid, o, lse, do, dlse, block_q, block_k, interpret)
+    return dq, dk, dv, None  # valid (i32) has no cotangent
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
@@ -300,7 +312,8 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "return_lse"))
 def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512,
-                interpret: bool | None = None, return_lse: bool = False):
+                interpret: bool | None = None, return_lse: bool = False,
+                kv_valid=None):
     """softmax(q @ kᵀ) @ v without materializing the Lq×Lk matrix — in
     forward *or* backward (flash-style VJP, see module docstring).
 
@@ -309,6 +322,10 @@ def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512,
       return_lse: also return the per-row logsumexp [N, Lq] f32 — the online-
         softmax partial that lets ring context parallelism combine per-shard
         results exactly.
+      kv_valid: optional traced i32 scalar — only keys/values below this
+        index participate (ring-CP chunk tails carry zero padding). Rows that
+        end up with zero valid keys return o=0, lse=−inf (the combine
+        identity). Defaults to Lk.
     Returns: [N, Lq, C] in q's dtype (and lse when requested).
 
     Inputs are passed to the kernels UNPADDED: Pallas implicitly masks partial
@@ -328,7 +345,10 @@ def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, c - c_in)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, c - c_in)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, c - c_in)))
-    o, lse = _flash(q, k, v, block_q, block_k, interpret)
+    if kv_valid is None:
+        kv_valid = k.shape[1]
+    valid = jnp.reshape(jnp.asarray(kv_valid, jnp.int32), (1, 1))
+    o, lse = _flash(q, k, v, valid, block_q, block_k, interpret)
     if c != c_in:
         o = o[:, :, :c_in]
     return (o, lse[:, :, 0]) if return_lse else o

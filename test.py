@@ -37,6 +37,10 @@ def get_arguments():
                         help="ori, retrain, ref, raa, add, padd, conv_add, or conc")
     parser.add_argument("--coattention-backend", default="pallas",
                         help="pallas | einsum")
+    parser.add_argument("--context-parallel", default="", choices=["", "ring", "ulysses"],
+                        help="Shard the co-attention's spatial tokens over all TPU chips "
+                             "(ring: chunks rotate over ICI with online-softmax combining; "
+                             "ulysses: all-gather). For resolutions past one chip's memory.")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard the eval batch over all TPU chips (north-star config 5).")
     parser.add_argument("--no-shuffle", action="store_true",
@@ -95,7 +99,19 @@ def main():
     logger.section(str(vars(args)))
 
     pretrained = cfg.test_pretrained_params(user_config, full_name)
-    model = create_model(full_name, coattention_backend=args.coattention_backend)
+    coattention_backend = args.coattention_backend
+    if args.context_parallel:
+        if args.data_parallel:
+            raise SystemExit("--context-parallel and --data-parallel are exclusive "
+                             "(CP shards tokens, DP shards the batch)")
+        from cosnet_tpu.parallel import data_parallel_mesh
+        from cosnet_tpu.parallel.context_parallel import enable_context_parallel
+
+        cp_mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
+        enable_context_parallel(cp_mesh, "data", chunk_backend=args.coattention_backend)
+        coattention_backend = args.context_parallel
+        print(f"=====> context-parallel ({args.context_parallel}) over {cp_mesh.devices.size} chip(s)")
+    model = create_model(full_name, coattention_backend=coattention_backend)
     n_inputs = model_input_signature(full_name)
     variables = init_variables(model, n_inputs)
     if pretrained and os.path.isfile(pretrained):
