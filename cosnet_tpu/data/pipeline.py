@@ -42,13 +42,27 @@ class BatchLoader:
         seed: Optional[int] = None,
         num_workers: int = 4,
         drop_last: bool = True,
+        process_shard: Optional[tuple] = None,
     ):
+        """``process_shard=(process_id, process_count)`` makes this loader
+        yield only its host's contiguous slice of each *global* batch
+        (multi-host DP): every process draws the same seeded shuffle, so the
+        slices are disjoint and together form the global batch — matching the
+        addressable-shard layout ``jax.make_array_from_process_local_data``
+        expects on a ('replica', 'data') mesh."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = random.Random(seed)
         self.num_workers = num_workers
         self.drop_last = drop_last
+        if process_shard and process_shard[1] > 1:
+            pid, nproc = process_shard
+            if batch_size % nproc:
+                raise ValueError(f"global batch {batch_size} must divide {nproc} processes")
+            self.process_shard = (pid, nproc)
+        else:
+            self.process_shard = None
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
@@ -63,6 +77,10 @@ class BatchLoader:
 
         def load_batch(bi):
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            if self.process_shard is not None:
+                pid, nproc = self.process_shard
+                local = self.batch_size // nproc
+                idxs = idxs[pid * local : (pid + 1) * local]
             if hasattr(self.dataset, "next_batch"):
                 try:
                     self.dataset.next_batch(bi)  # deterministic per-batch ratios

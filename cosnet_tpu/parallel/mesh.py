@@ -28,7 +28,40 @@ def data_parallel_mesh(device_indices: Optional[Sequence[int]] = None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("data",))
 
 
-def multi_host_mesh(ici_axis_size: Optional[int] = None) -> Mesh:
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Wire up ``jax.distributed`` for multi-host execution.
+
+    On a real TPU pod slice, ``jax.distributed.initialize()`` auto-discovers
+    the coordinator from the TPU metadata; elsewhere (CPU/GPU clusters,
+    manual launch) the coordinator address / process count / process id must
+    be passed — the same triple ``torchrun`` would carry for the reference's
+    hypothetical DDP scale-out (its actual ceiling is single-process
+    ``nn.DataParallel``, reference ``train.py:489-496``).
+
+    Returns True if initialization ran, False if skipped (already
+    initialized, or a single-process run with no coordinator to join).
+
+    Deliberately does NOT touch ``jax.process_count()``/``jax.devices()``
+    first — those would initialize the backend, after which joining a
+    coordinator is impossible.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        return False  # single-process run: nothing to join
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        return False  # already initialized (idempotent callers)
+    return True
+
+
+def multi_host_mesh(ici_axis_size: Optional[int] = None,
+                    replica_axis_size: Optional[int] = None) -> Mesh:
     """('replica', 'data') mesh for multi-host scale-out.
 
     The inner 'data' axis spans the chips of one host (collectives ride ICI);
@@ -36,13 +69,18 @@ def multi_host_mesh(ici_axis_size: Optional[int] = None) -> Mesh:
     axes keeps the gradient reduction hierarchical: XLA emits a
     reduce-scatter/all-reduce over ICI first and the cross-host reduction
     over DCN. On a single host this degenerates to (1, n_local) and is
-    equivalent to the flat data-parallel mesh. Multi-host initialization
-    (``jax.distributed.initialize``) is the caller's responsibility.
+    equivalent to the flat data-parallel mesh unless ``replica_axis_size``
+    forces a taller outer axis (the single-process dryrun shape). Call
+    ``initialize_distributed`` first on real multi-host runs.
     """
     devices = jax.devices()
-    local = ici_axis_size or max(
-        1, len([d for d in devices if d.process_index == devices[0].process_index])
-    )
+    if replica_axis_size:
+        assert len(devices) % replica_axis_size == 0, (len(devices), replica_axis_size)
+        local = len(devices) // replica_axis_size
+    else:
+        local = ici_axis_size or max(
+            1, len([d for d in devices if d.process_index == devices[0].process_index])
+        )
     assert len(devices) % local == 0, (len(devices), local)
     grid = np.array(devices).reshape(len(devices) // local, local)
     return Mesh(grid, axis_names=("replica", "data"))
@@ -50,21 +88,27 @@ def multi_host_mesh(ici_axis_size: Optional[int] = None) -> Mesh:
 
 def shard_batch_2d(batch: dict, mesh: Mesh) -> dict:
     """Batch sharded over BOTH mesh axes (multi-host DP)."""
-    sharding = NamedSharding(mesh, P(("replica", "data")))
-    return {
-        k: jax.device_put(v, sharding) if hasattr(v, "shape") else v
-        for k, v in batch.items()
-    }
+    return shard_batch(batch, mesh, spec=P(("replica", "data")))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, spec: Optional[P] = None) -> dict:
     """Place array values of a batch dict with the leading dim sharded over
-    'data'; non-arrays (seq names) pass through."""
-    sharding = NamedSharding(mesh, P("data"))
+    every mesh axis (flat DP: 'data'; hierarchical: ('replica', 'data'));
+    non-arrays (seq names) pass through.
+
+    Multi-process runs hand each host's *local* slice of the global batch to
+    ``jax.make_array_from_process_local_data`` — hosts never materialize the
+    full batch; single-process runs use a plain ``device_put``.
+    """
+    sharding = NamedSharding(mesh, spec if spec is not None else P(tuple(mesh.axis_names)))
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) or hasattr(v, "shape"):
-            out[k] = jax.device_put(v, sharding)
+            if multiprocess:
+                out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out

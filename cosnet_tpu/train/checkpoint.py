@@ -64,8 +64,14 @@ def find_latest_checkpoint(snapshot_root: str) -> Optional[str]:
     return max(candidates, key=lambda p: (epoch_of(p), os.path.getmtime(p)))
 
 
-def restore(path: str, state, restore_momentum: bool = False):
+def restore(path: str, state, restore_momentum: bool = False, mesh=None):
     """Restore from an orbax dir or a .pth file into an existing TrainState.
+
+    ``mesh``: elastic resume — restore directly onto a (possibly different-
+    sized) device mesh. Checkpoints are mesh-size-independent because the
+    train state is fully replicated (DP); orbax places each restored array
+    with the replicated NamedSharding of the NEW mesh, so a snapshot taken
+    on N chips resumes on M without a host-side detour through numpy.
 
     Returns (state, start_epoch).
     """
@@ -80,16 +86,23 @@ def restore(path: str, state, restore_momentum: bool = False):
         )
         return state, int(ckpt.get("epoch", 0))
 
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "momentum": state.momentum,
+    }
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())  # replicated over the new mesh
+        target_state = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype, sharding=sharding),
+            tree,
+        )
+    else:
+        target_state = jax.tree.map(np.asarray, tree)
     with ocp.StandardCheckpointer() as ckptr:
-        target = {
-            "state": jax.tree.map(np.asarray, {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "momentum": state.momentum,
-            }),
-            "epoch": np.asarray(0),
-        }
-        restored = ckptr.restore(os.path.abspath(path), target)
+        restored = ckptr.restore(os.path.abspath(path), {"state": target_state, "epoch": np.asarray(0)})
     st = restored["state"]
     state = state.replace(
         params=jax.tree.map(jax.numpy.asarray, st["params"]),

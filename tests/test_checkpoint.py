@@ -79,3 +79,25 @@ def test_pth_export_forward_matches(tmp_path, state):
     nhwc = lambda x: jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
     x1, _, _ = model.apply(state.variables, nhwc(rgb), nhwc(rgb), nhwc(d), nhwc(d), train=False)
     np.testing.assert_allclose(np.asarray(x1)[..., 0], t1.numpy()[:, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_elastic_mesh_resume(tmp_path, state):
+    """Elastic reshaping: a checkpoint saved from an 8-device mesh restores
+    directly onto a 4-device mesh (replicated state is mesh-size-independent;
+    orbax places arrays with the NEW mesh's sharding)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cosnet_tpu.parallel import replicate
+
+    mesh8 = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    state8 = replicate(state, mesh8)
+    save_epoch(str(tmp_path), "sbmrgbd", 5, state8, pth=False)
+
+    mesh4 = Mesh(np.array(jax.devices()[:4]), axis_names=("data",))
+    blank = state.replace(params=jax.tree.map(jnp.zeros_like, state.params))
+    restored, epoch = restore(str(tmp_path / "orbax_sbmrgbd_5"), blank, mesh=mesh4)
+    assert epoch == 6
+    kern = restored.params["gate"]["kernel"]
+    assert kern.sharding == NamedSharding(mesh4, P())
+    assert {d.id for d in kern.sharding.device_set} == {d.id for d in jax.devices()[:4]}
+    np.testing.assert_array_equal(np.asarray(kern), np.asarray(state.params["gate"]["kernel"]))

@@ -70,6 +70,21 @@ def get_arguments():
                              "disabled there; opt-in here) and log flagged frames.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Hierarchical ('replica', 'data') mesh: batch sharded over "
+                             "DCN (hosts) x ICI (chips); gradient reduction stays "
+                             "hierarchical. Replaces the reference's single-process "
+                             "DataParallel ceiling (train.py:489-496) at pod scale.")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 for jax.distributed.initialize "
+                             "(omit on TPU pods — auto-discovered).")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="Total process count for jax.distributed.initialize.")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This process's index for jax.distributed.initialize.")
+    parser.add_argument("--replica-axis-size", type=int, default=None,
+                        help="Force the outer 'replica' axis length (single-process "
+                             "dryrun of the hierarchical mesh, e.g. 2 on 8 devices).")
     return parser.parse_args()
 
 
@@ -87,7 +102,14 @@ def main():
     from cosnet_tpu.data.pipeline import device_prefetch
     from cosnet_tpu.data.davis import DavisDataset
     from cosnet_tpu.models import create_model, init_variables, model_input_signature
-    from cosnet_tpu.parallel import data_parallel_mesh, shard_batch, replicate
+    from cosnet_tpu.parallel import (
+        data_parallel_mesh, initialize_distributed, multi_host_mesh, replicate, shard_batch,
+    )
+
+    if args.multihost:
+        # Real multi-host: join the coordinator BEFORE any other jax use so
+        # jax.devices() sees the whole pod. Single-process dryruns skip this.
+        initialize_distributed(args.coordinator_address, args.num_processes, args.process_id)
     from cosnet_tpu.train.checkpoint import find_latest_checkpoint, restore, save_epoch
     from cosnet_tpu.train.optim import GroupedSGD, lr_poly
     from cosnet_tpu.train.state import TrainState, make_train_step
@@ -198,9 +220,14 @@ def main():
         logger.write(f"[validate] {flagged}/{len(db_train.index.frames)} frames flagged\n")
         print(f"    {flagged}/{len(db_train.index.frames)} frames flagged (see log)")
 
-    mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
+    if args.multihost:
+        mesh = multi_host_mesh(replica_axis_size=args.replica_axis_size)
+        print(f"=====> Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"({jax.process_count()} process(es)); global batch {ds_cfg.batch_size}")
+    else:
+        mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
+        print(f"=====> Mesh: {mesh.devices.size} device(s); global batch {ds_cfg.batch_size}")
     n_dev = mesh.devices.size
-    print(f"=====> Mesh: {n_dev} device(s); global batch {ds_cfg.batch_size}")
     if ds_cfg.batch_size % n_dev != 0:
         raise SystemExit(f"batch_size {ds_cfg.batch_size} must divide the {n_dev}-device mesh")
 
@@ -208,7 +235,9 @@ def main():
                                  alternating=args.saliency_alternating)
     jitted_step = jax.jit(train_step, donate_argnums=0)
 
-    trainloader = BatchLoader(db_train, batch_size=ds_cfg.batch_size, shuffle=True, seed=args.random_seed)
+    proc_shard = (jax.process_index(), jax.process_count()) if args.multihost else None
+    trainloader = BatchLoader(db_train, batch_size=ds_cfg.batch_size, shuffle=True,
+                              seed=args.random_seed, process_shard=proc_shard)
     train_len = len(trainloader)
     max_iter = ds_cfg.max_epoches * train_len
     print("  iteration numbers  of per epoch: ", train_len)
