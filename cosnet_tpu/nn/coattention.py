@@ -48,6 +48,10 @@ def coattention(va, vb, kernel, backend: str = "einsum"):
     """Dispatch: einsum reference, fused Pallas kernel, or a context-parallel
     variant ('ring' / 'ulysses' — tokens sharded over the mesh installed by
     cosnet_tpu.parallel.context_parallel.enable_context_parallel)."""
+    # Params are stored f32 regardless of compute dtype (flax param_dtype
+    # convention — checkpoints are dtype-independent); compute follows the
+    # activations, as nn.Conv's promote_dtype does.
+    kernel = kernel.astype(va.dtype)
     if backend == "einsum":
         return coattention_einsum(va, vb, kernel)
     if backend == "pallas":

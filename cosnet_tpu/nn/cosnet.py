@@ -46,7 +46,7 @@ class CoattentionSiameseNet(nn.Module):
         v_b, labels = encoder(rgbs_b, train)
         v_b, labels = sg(v_b), sg(labels)
 
-        w = self.param("rgb_similarity_weights", torch_linear_kernel_init, (c, c), self.dtype)
+        w = self.param("rgb_similarity_weights", torch_linear_kernel_init, (c, c), jnp.float32)
         z_a, z_b = coattention(v_a, v_b, w, backend=self.coattention_backend)
 
         gate = _conv1x1(1, c, use_bias=False, name="gate", dtype=self.dtype)

@@ -73,7 +73,7 @@ class RGBDSegmentationRAA(nn.Module):
     def setup(self):
         c = self.all_channel
         self.encoder = Encoder(self.block, self.num_blocks_rgb, self.num_classes, dtype=self.dtype)
-        self.rgb_similarity_weights = self.param("rgb_similarity_weights", torch_linear_kernel_init, (c, c), self.dtype)
+        self.rgb_similarity_weights = self.param("rgb_similarity_weights", torch_linear_kernel_init, (c, c), jnp.float32)
         self.gate = _conv1x1(1, c, use_bias=False, name="gate", dtype=self.dtype)
         self.reduce_channels_A = _conv3x3(c, 2 * c, "reduce_channels_A", self.dtype)
         self.reduce_channels_B = _conv3x3(c, 2 * c, "reduce_channels_B", self.dtype)
@@ -81,7 +81,7 @@ class RGBDSegmentationRAA(nn.Module):
         self.bn_B = BatchNorm(dtype=self.dtype, name="bn_B")
 
         self.depth_encoder = DepthEncoderResNetASPP(self.block, self.num_blocks_depth, c, dtype=self.dtype)
-        self.depth_similarity_weights = self.param("depth_similarity_weights", torch_linear_kernel_init, (c, c), self.dtype)
+        self.depth_similarity_weights = self.param("depth_similarity_weights", torch_linear_kernel_init, (c, c), jnp.float32)
         self.depth_gate = _conv1x1(1, c, use_bias=True, name="depth_gate", dtype=self.dtype)
         self.depth_reduce_channels = _conv3x3(c, 2 * c, "depth_reduce_channels", self.dtype)
         self.depth_bn = BatchNorm(dtype=self.dtype, name="depth_bn")

@@ -28,7 +28,12 @@ def get_arguments():
                         help="Kept for CLI compatibility; device is the TPU.")
     parser.add_argument("--gpus", type=str, default="0")
     parser.add_argument("--seq_name", default="bmx-bumps")
-    parser.add_argument("--use_crf", default="True")
+    parser.add_argument("--use_crf", default="",
+                        help="Refine masks with dense-CRF mean field on device "
+                             "(cosnet_tpu/eval/crf.py). The reference accepts this flag "
+                             "but its pydensecrf path is commented out (test.py:38-39,76) "
+                             "— default off preserves its actual output behavior; pass "
+                             "any truthy value to enable the real thing.")
     parser.add_argument("--save_seg_img", default="True")
     parser.add_argument("--sample_range", default=5)
     parser.add_argument("--epoches", default=0)
@@ -37,6 +42,11 @@ def get_arguments():
                         help="ori, retrain, ref, raa, add, padd, conv_add, or conc")
     parser.add_argument("--coattention-backend", default="pallas",
                         help="pallas | einsum")
+    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                        help="Activation/compute dtype. bfloat16 cuts HBM traffic on the "
+                             "residual stream (~23%% faster on v5e); params and the final "
+                             "mask decode stay float32; masks agree at uint8 scale "
+                             "(tests/test_model_parity.py::test_bf16_inference_mask_parity).")
     parser.add_argument("--context-parallel", default="", choices=["", "ring", "ulysses"],
                         help="Shard the co-attention's spatial tokens over all TPU chips "
                              "(ring: chunks rotate over ICI with online-softmax combining; "
@@ -111,7 +121,8 @@ def main():
         enable_context_parallel(cp_mesh, "data", chunk_backend=args.coattention_backend)
         coattention_backend = args.context_parallel
         print(f"=====> context-parallel ({args.context_parallel}) over {cp_mesh.devices.size} chip(s)")
-    model = create_model(full_name, coattention_backend=coattention_backend)
+    model = create_model(full_name, coattention_backend=coattention_backend,
+                         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     n_inputs = model_input_signature(full_name)
     variables = init_variables(model, n_inputs)
     if pretrained and os.path.isfile(pretrained):
@@ -167,6 +178,11 @@ def main():
 
     testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=not args.no_shuffle, drop_last=False)
     print("======> test set size:", len(testloader))
+
+    apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
+    if apply_crf:
+        from cosnet_tpu.eval.crf import refine_mask_u8
+        print("=====> dense-CRF refinement on (mean-field, on-device)")
 
     output_img_dir = None
     if args.save_seg_img:
@@ -228,6 +244,12 @@ def main():
             else:
                 img = cv2.resize(mask[idx, :, :, 0], tuple(ds_cfg.output_WH))
                 mask_u8 = (img * 255).astype(np.uint8)
+            if apply_crf:
+                guide = np.asarray(batch["target"][idx])  # model-res, mean-subtracted
+                # (constant offsets cancel in the CRF's color kernel)
+                if guide.shape[:2] != mask_u8.shape:
+                    guide = cv2.resize(guide, (mask_u8.shape[1], mask_u8.shape[0]))
+                mask_u8 = refine_mask_u8(mask_u8, guide)
             gt = np.array(batch["target_gt"][idx])
             if gt.shape != mask_u8.shape:
                 # Reference configs keep output_WH == model input size; if a

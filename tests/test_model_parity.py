@@ -99,3 +99,25 @@ def test_train_forward_parity(ref_model, inputs):
     got_d = np.asarray(mutated["batch_stats"]["depth_bn"]["mean"])
     want_d = ref_stats["depth_bn.running_mean"].numpy()
     np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_inference_mask_parity(ref_model, inputs):
+    """The bfloat16 inference mode (test.py --dtype bfloat16, bench headline)
+    must agree with f32 at the scale evaluation happens: masks are compared
+    as uint8 (mask*255, reference evaluation.py:9-19), so bf16's reduced
+    activation precision must not move the uint8 mask materially."""
+    rgb_a, rgb_b, d_a, d_b = inputs
+    model, variables = _build_jax(ref_model)
+    bf16_model = model.clone(dtype=jnp.bfloat16)
+
+    x1, x2, _ = model.apply(variables, _nhwc(rgb_a), _nhwc(rgb_b), _nhwc(d_a), _nhwc(d_b), train=False)
+    y1, y2, _ = bf16_model.apply(variables, _nhwc(rgb_a), _nhwc(rgb_b), _nhwc(d_a), _nhwc(d_b), train=False)
+
+    for f32_out, bf16_out in ((x1, y1), (x2, y2)):
+        a = (np.asarray(f32_out) * 255).astype(np.int32)
+        b = (np.asarray(bf16_out, dtype=np.float32) * 255).astype(np.int32)
+        # fresh-init masks hover near sigmoid(0): demand near-total agreement
+        # at uint8 scale and a tiny mean deviation.
+        close = np.mean(np.abs(a - b) <= 3)
+        assert close > 0.99, f"uint8 mask agreement {close:.4f}"
+        assert np.mean(np.abs(a - b)) < 1.0
