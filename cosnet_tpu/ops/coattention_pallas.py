@@ -144,6 +144,193 @@ def _flash_fwd_impl(q, k, v, valid, block_q: int, block_k: int, interpret: bool)
 
 
 # ---------------------------------------------------------------------------
+# Fused bidirectional forward
+# ---------------------------------------------------------------------------
+#
+# Both co-attention directions share ONE affinity: S = P·Bᵀ, with
+#     Z_a[i] = Σ_j softmax_j(S[i,:]) B[j]      (row softmax)
+#     Z_b[j] = Σ_i softmax_i(S[:,j]) A[i]      (column softmax)
+# so a tile S[i-block, j-block] can be computed once and folded into both
+# online softmaxes — 3 matmuls per tile instead of the 4 of two separate
+# flash passes (ROADMAP #1). The row direction streams exactly like
+# _flash_fwd_kernel. The column direction keeps its FULL accumulator
+# resident in VMEM across the whole (i, j) sweep (TPU grids execute
+# sequentially, so scratch carries): stored transposed as [C, Lk] with
+# keys on lanes, so the per-key online-softmax rescale broadcasts along
+# lanes with no per-tile transposes; each Z_b block is transposed once at
+# finalization (i == ni−1).
+
+
+def _flash_bidir_kernel(q_ref, k_ref, va_ref, valid_ref,
+                        za_ref, lsea_ref, zb_ref, lseb_ref,
+                        acc_ref, m_ref, l_ref, accb_ref, mb_ref, lb_ref,
+                        *, block_q: int, block_k: int, lq: int):
+    i, j = pl.program_id(1), pl.program_id(2)
+    ni, nj = pl.num_programs(1), pl.num_programs(2)
+    lk = valid_ref[0, 0]
+    ksl = pl.ds(j * block_k, block_k)  # this tile's slice of the column state
+
+    @pl.when(j == 0)
+    def _init_row():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _init_col():
+        mb_ref[:, ksl] = jnp.full((mb_ref.shape[0], block_k), NEG_INF, jnp.float32)
+        lb_ref[:, ksl] = jnp.zeros((lb_ref.shape[0], block_k), jnp.float32)
+        accb_ref[:, ksl] = jnp.zeros((accb_ref.shape[0], block_k), jnp.float32)
+
+    q = q_ref[0]  # [Bq, C] (rows ≥ lq are undefined edge padding)
+    k = k_ref[0]  # [Bk, C]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Bq, Bk]
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+
+    # -- row direction (softmax over keys), identical to _flash_fwd_kernel --
+    s_row = jnp.where(col < lk, s, NEG_INF)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s_row, axis=-1, keepdims=True))
+    m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+    alpha = jnp.exp(m_prev - m_safe)
+    p = jnp.exp(s_row - m_safe)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    v_row = _row_mask(k, lk, j * block_k)  # direction-A values ARE the keys (B)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_row, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    # -- column direction (softmax over queries), lane-layout statistics ----
+    s_col = jnp.where(row < lq, s, NEG_INF)  # undefined q edge rows must not vote
+    mb_prev = mb_ref[:1, ksl]  # [1, Bk]
+    mb_new = jnp.maximum(mb_prev, jnp.max(s_col, axis=0, keepdims=True))
+    mb_safe = jnp.where(mb_new == NEG_INF, 0.0, mb_new)
+    alpha_b = jnp.exp(mb_prev - mb_safe)  # [1, Bk] — broadcasts over sublanes
+    p_b = jnp.exp(s_col - mb_safe)  # [Bq, Bk]
+    lb_new = alpha_b * lb_ref[:1, ksl] + jnp.sum(p_b, axis=0, keepdims=True)
+    va_t = _row_mask(va_ref[0], lq, i * block_q)  # [Bq, C] direction-B values (A)
+    # accb is [C, Lk]: contract the shared Bq axis; keys stay on lanes.
+    accb_ref[:, ksl] = accb_ref[:, ksl] * alpha_b + jax.lax.dot_general(
+        va_t, p_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    mb_ref[:, ksl] = jnp.broadcast_to(mb_new, (mb_ref.shape[0], block_k))
+    lb_ref[:, ksl] = jnp.broadcast_to(lb_new, (lb_ref.shape[0], block_k))
+
+    @pl.when(j == nj - 1)
+    def _finalize_row():
+        l_safe = jnp.where(l_ref[:, :1] == 0.0, 1.0, l_ref[:, :1])
+        za_ref[0] = (acc_ref[:] / l_safe).astype(za_ref.dtype)
+        lsea_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+
+    @pl.when(i == ni - 1)
+    def _finalize_col():
+        lb = lb_ref[:1, ksl]
+        lb_safe = jnp.where(lb == 0.0, 1.0, lb)
+        zb_ref[0] = jnp.transpose(accb_ref[:, ksl] / lb_safe, (1, 0)).astype(zb_ref.dtype)
+        lseb = jnp.transpose(mb_ref[:1, ksl] + jnp.log(lb), (1, 0))  # [Bk, 1]
+        lseb_ref[0] = jnp.broadcast_to(lseb, lseb_ref.shape[1:])
+
+
+def _flash_bidir_fwd_impl(p, b, a, valid, block_q: int, block_k: int, interpret: bool):
+    """(z_a, lse_a, z_b, lse_b) with one affinity evaluation per tile.
+    p: projected A features [N, Lq, C]; b: counterpart [N, Lk, C];
+    a: unprojected A features [N, Lq, C] (direction-B values)."""
+    n, lq, c = p.shape
+    lk = b.shape[1]
+    bq = min(block_q, _round_up(lq, 8))
+    bk = min(block_k, _round_up(lk, 8))
+    nj = pl.cdiv(lk, bk)
+    grid = (n, pl.cdiv(lq, bq), nj)
+    return pl.pallas_call(
+        functools.partial(_flash_bidir_kernel, block_q=bq, block_k=bk, lq=lq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bk, c), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bq, c), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, 1), lambda b_, i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b_, i, j: (b_, i, 0)),
+            # z_b blocks are revisited across i (flushed each step; only the
+            # final sweep i == ni−1 writes them, and its flush lands last).
+            pl.BlockSpec((1, bk, c), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, bk, 128), lambda b_, i, j: (b_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, lq, c), p.dtype),
+            jax.ShapeDtypeStruct((n, lq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, lk, c), b.dtype),
+            jax.ShapeDtypeStruct((n, lk, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),       # row acc
+            pltpu.VMEM((bq, 128), jnp.float32),     # row m
+            pltpu.VMEM((bq, 128), jnp.float32),     # row l
+            pltpu.VMEM((c, nj * bk), jnp.float32),  # col acc, transposed
+            pltpu.VMEM((8, nj * bk), jnp.float32),  # col m (lane layout)
+            pltpu.VMEM((8, nj * bk), jnp.float32),  # col l (lane layout)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * n * lq * lk * c,
+            bytes_accessed=4 * n * (grid[2] * lq * c + grid[1] * lk * c + lq * c + 2 * (lq + lk) * c),
+            transcendentals=2 * n * lq * lk,
+        ),
+        interpret=interpret,
+    )(p, b, a, valid)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_bidir(p, b, a, valid, block_q, block_k, interpret):
+    return _flash_bidir_fwd_impl(p, b, a, valid, block_q, block_k, interpret)
+
+
+def _flash_bidir_vjp_fwd(p, b, a, valid, block_q, block_k, interpret):
+    za, lsea, zb, lseb = _flash_bidir_fwd_impl(p, b, a, valid, block_q, block_k, interpret)
+    return (za, lsea, zb, lseb), (p, b, a, valid, za, lsea, zb, lseb)
+
+
+def _flash_bidir_vjp_bwd(block_q, block_k, interpret, residuals, cotangents):
+    """The fused forward is exactly flash(p,b,b) ∥ flash(b,p,a), so the
+    backward is the two directions' streaming VJPs summed per operand."""
+    p, b, a, valid, za, lsea, zb, lseb = residuals
+    dza, dlsea, dzb, dlseb = cotangents
+    lq = jnp.reshape(jnp.asarray(p.shape[1], jnp.int32), (1, 1))
+    dp1, db_k, db_v = _flash_bwd_impl(p, b, b, valid, za, lsea, dza, dlsea, block_q, block_k, interpret)
+    db_q, dp2, da = _flash_bwd_impl(b, p, a, lq, zb, lseb, dzb, dlseb, block_k, block_q, interpret)
+    return dp1 + dp2, db_k + db_v + db_q, da, None
+
+
+_flash_bidir.defvjp(_flash_bidir_vjp_fwd, _flash_bidir_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_xattn_bidir(p, b, a, block_q: int = 512, block_k: int = 256,
+                      interpret: bool | None = None):
+    """Fused bidirectional cross-attention:
+    (softmax(p·bᵀ, axis=-1)·b, softmax(p·bᵀ, axis=0)ᵀ·a) plus both lse
+    vectors — one affinity evaluation per tile (module docstring)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c_in = p.shape[-1]
+    c = _round_up(c_in, 128)
+    if c != c_in:
+        pad = ((0, 0), (0, 0), (0, c - c_in))
+        p, b, a = jnp.pad(p, pad), jnp.pad(b, pad), jnp.pad(a, pad)
+    valid = jnp.reshape(jnp.asarray(b.shape[1], jnp.int32), (1, 1))
+    za, lsea, zb, lseb = _flash_bidir(p, b, a, valid, block_q, block_k, interpret)
+    if c != c_in:
+        za, zb = za[:, :, :c_in], zb[:, :, :c_in]
+    return za, lsea[:, :, 0], zb, lseb[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
 
@@ -357,15 +544,16 @@ def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512,
 def coattention_pallas(va, vb, kernel):
     """Fused bidirectional co-attention (see cosnet_tpu/nn/coattention.py).
 
-    Plain composition of the projection einsum and two flash passes; autodiff
-    flows through ``flash_xattn``'s custom VJP, so neither direction's HW×HW
-    affinity is ever materialized under grad either.
+    Projection einsum + ONE bidirectional flash kernel: the affinity
+    S = (A·W)·Bᵀ is evaluated once per tile and folded into both online
+    softmaxes (3 matmuls/tile instead of 4 — ROADMAP #1). Autodiff flows
+    through the custom VJP (the two directions' streaming backward kernels),
+    so the HW×HW affinity is never materialized in HBM, forward or backward.
     """
     n, h, w, c = va.shape
     hb, wb = vb.shape[1:3]
     a = va.reshape(n, h * w, c)
     b = vb.reshape(n, hb * wb, c)
     p = jnp.einsum("nic,cd->nid", a, kernel, preferred_element_type=jnp.float32).astype(a.dtype)
-    z_a = flash_xattn(p, b, b)
-    z_b = flash_xattn(b, p, a)
+    z_a, _, z_b, _ = flash_xattn_bidir(p, b, a)
     return z_a.reshape(n, h, w, c), z_b.reshape(n, hb, wb, c)
