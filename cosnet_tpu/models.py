@@ -14,10 +14,29 @@ from cosnet_tpu.nn.raa import RGBDSegmentationRAA
 from cosnet_tpu.nn.resnet import Bottleneck
 
 
-def create_model(full_name: str, coattention_backend: str = "einsum", dtype=jnp.float32):
+def create_model(full_name: str, coattention_backend: str = "einsum", dtype=jnp.float32,
+                 remat: bool = False):
+    """Build a model by its full registry name.
+
+    ``dtype`` is the activation/compute dtype (params, BN statistics, and the
+    final mask decode stay float32 — flax ``param_dtype`` default plus the f32
+    decode in raa.py). ``remat`` wraps every residual block in
+    ``nn.remat`` (jax.checkpoint): the backward pass recomputes block
+    activations instead of storing them, trading ~⅓ more trunk FLOPs for
+    O(depth)× less activation memory — what makes training at the 480×854
+    eval resolution fit one chip. Parameter names/trees are unchanged, and
+    gradients are bit-identical (rematerialization is exact).
+    """
+    block = Bottleneck
+    if remat:
+        import flax.linen as nn
+
+        # static_argnums=(2,): (self, x, train) — `train` switches BN mode in
+        # Python control flow, so it must stay a static (hashable) argument.
+        block = nn.remat(Bottleneck, static_argnums=(2,))
     if full_name == "resnet_aspp_add":
         return RGBDSegmentationRAA(
-            block=Bottleneck,
+            block=block,
             num_blocks_rgb=(3, 4, 23, 3),
             num_blocks_depth=(3, 4, 6, 3),
             num_classes=1,
@@ -28,7 +47,7 @@ def create_model(full_name: str, coattention_backend: str = "einsum", dtype=jnp.
         from cosnet_tpu.nn.cosnet import CoattentionSiameseNet
 
         return CoattentionSiameseNet(
-            block=Bottleneck,
+            block=block,
             num_blocks=(3, 4, 23, 3),
             num_classes=1,
             coattention_backend=coattention_backend,
@@ -53,7 +72,7 @@ def create_model(full_name: str, coattention_backend: str = "einsum", dtype=jnp.
             "convs_depth_concatenation2": "conv_conc2",
         }[full_name]
         return RGBDSegmentationModel(
-            block=Bottleneck,
+            block=block,
             num_blocks_rgb=(3, 4, 23, 3),
             num_blocks_depth=(3, 4, 6, 3),
             num_classes=1,

@@ -311,7 +311,7 @@ _flash_bidir.defvjp(_flash_bidir_vjp_fwd, _flash_bidir_vjp_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_xattn_bidir(p, b, a, block_q: int = 512, block_k: int = 256,
+def flash_xattn_bidir(p, b, a, block_q: int = 256, block_k: int = 512,
                       interpret: bool | None = None):
     """Fused bidirectional cross-attention:
     (softmax(p·bᵀ, axis=-1)·b, softmax(p·bᵀ, axis=0)ᵀ·a) plus both lse
@@ -324,6 +324,10 @@ def flash_xattn_bidir(p, b, a, block_q: int = 512, block_k: int = 256,
         pad = ((0, 0), (0, 0), (0, c - c_in))
         p, b, a = jnp.pad(p, pad), jnp.pad(b, pad), jnp.pad(a, pad)
     valid = jnp.reshape(jnp.asarray(b.shape[1], jnp.int32), (1, 1))
+    # Defaults measured on v5e at the flagship geometry (HW=6527, C=256,
+    # batch 8) via benchmarks/kernel_bench.py: (256, 512) beats (512, 256)
+    # by ~40% — a shallower q sweep shrinks the column state's flush
+    # traffic, and wider k tiles amortize the row-direction rescale.
     za, lsea, zb, lseb = _flash_bidir(p, b, a, valid, block_q, block_k, interpret)
     if c != c_in:
         za, zb = za[:, :, :c_in], zb[:, :, :c_in]
@@ -498,7 +502,7 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "return_lse"))
-def flash_xattn(q, k, v, block_q: int = 512, block_k: int = 512,
+def flash_xattn(q, k, v, block_q: int = 1024, block_k: int = 512,
                 interpret: bool | None = None, return_lse: bool = False,
                 kv_valid=None):
     """softmax(q @ kᵀ) @ v without materializing the Lq×Lk matrix — in

@@ -236,3 +236,56 @@ def test_train_step_through_pallas_backward():
     np.testing.assert_allclose(
         np.asarray(sp.params["gate"]["kernel"]),
         np.asarray(se.params["gate"]["kernel"]), rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mixed precision (--dtype bfloat16) and block rematerialization (--remat)
+# ---------------------------------------------------------------------------
+
+
+def test_remat_train_step_matches_nonremat():
+    """nn.remat(Bottleneck) (train.py --remat) recomputes block activations in
+    the backward pass; the update must match the stored-activation step (remat
+    is mathematically exact) and the param tree must be unchanged."""
+    import flax.linen as nn
+
+    model, state, step, batch = _tiny_setup()
+    rblock = nn.remat(Bottleneck, static_argnums=(2,))  # as create_model(remat=True)
+    rmodel = RGBDSegmentationRAA(block=rblock, num_blocks_rgb=BLOCKS, num_blocks_depth=BLOCKS)
+    assert (
+        jax.tree_util.tree_structure(jax.eval_shape(
+            lambda: rmodel.init(jax.random.key(0), batch["target"][:1], batch["search_0"][:1],
+                                batch["target_depth"][:1], batch["search_0_depth"][:1], train=False)))
+        == jax.tree_util.tree_structure(jax.eval_shape(
+            lambda: model.init(jax.random.key(0), batch["target"][:1], batch["search_0"][:1],
+                               batch["target_depth"][:1], batch["search_0_depth"][:1], train=False)))
+    )
+    rstep = make_train_step(rmodel, GroupedSGD())
+    s1, loss1 = jax.jit(step)(state, batch, 1e-4)
+    s2, loss2 = jax.jit(rstep)(state, batch, 1e-4)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-8)
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+
+
+def test_bf16_train_step_close_to_f32():
+    """Mixed-precision train step (train.py --dtype bfloat16): bf16 activation
+    stream, f32 params/BN stats/loss/optimizer. Parameters must stay f32 and
+    the loss trajectory must track the f32 step."""
+    model, state, step, batch = _tiny_setup()
+    bmodel = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=BLOCKS,
+                                 num_blocks_depth=BLOCKS, dtype=jnp.bfloat16)
+    bstep = jax.jit(make_train_step(bmodel, GroupedSGD()))
+    fstep = jax.jit(step)
+
+    fs, bs = state, state
+    for i in range(3):
+        fs, floss = fstep(fs, batch, 1e-4)
+        bs, bloss = bstep(bs, batch, 1e-4)
+        np.testing.assert_allclose(float(bloss), float(floss), rtol=0.03)
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(bs.params))
+    assert all(s.dtype == jnp.float32 for s in jax.tree.leaves(bs.batch_stats))
+    # it learns: same-batch loss decreases under the bf16 step too
+    _, bloss2 = bstep(bs, batch, 1e-4)
+    assert float(bloss2) < float(bloss)
