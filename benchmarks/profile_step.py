@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Authoritative device-step measurement: xplane-traced RAA forward.
+
+Wall-clock timing through the tunneled axon relay includes a per-sync
+round-trip that varies by session (~3-29 ms measured), so the headline
+device step is taken from a ``jax.profiler`` trace instead: the sum of
+"XLA Ops" durations on the TPU plane divided by the number of traced steps.
+Also prints the top op categories (fusion names aggregated with trailing
+``.N`` indices stripped) — the per-op attribution behind docs/PERF_r2.md.
+
+Usage: python benchmarks/profile_step.py [--dtype bfloat16] [--steps 3]
+       [--train]  # profile the full train step (grads + grouped SGD)
+"""
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def aggregate_xplane(trace_dir: str, steps: int, top: int = 12):
+    """Parse the xplane proto(s) under ``trace_dir``; return (ms_per_step,
+    [(ms, count, category, example)]) from the TPU plane's XLA Ops line."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {trace_dir}"
+    agg, cnt, example = collections.Counter(), collections.Counter(), {}
+    total = 0.0
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = plane.event_metadata[ev.metadata_id].name
+                    m = re.match(r"%([\w.\-]+) = ", name)
+                    cat = re.sub(r"\.\d+$", "", m.group(1) if m else name[:40])
+                    ms = ev.duration_ps / 1e9
+                    agg[cat] += ms
+                    cnt[cat] += 1
+                    example.setdefault(cat, name[:120])
+                    total += ms
+    rows = [(v / steps, cnt[c] // steps, c, example[c]) for c, v in agg.most_common(top)]
+    return total / steps, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, nargs=2, default=(480, 854))
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--train", action="store_true",
+                    help="profile the jitted train step (fwd+bwd+grouped SGD) "
+                         "with --remat semantics instead of the eval forward")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--keep-trace", default="", help="directory to keep the trace in")
+    args = ap.parse_args()
+
+    from cosnet_tpu.models import create_model, init_variables
+    from cosnet_tpu.utils.device import device_materialize
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model("resnet_aspp_add", coattention_backend="pallas",
+                         dtype=dtype, remat=args.remat)
+    variables = init_variables(model, n_inputs=4, hw=(64, 64))
+    variables = device_materialize(jax.tree.map(jnp.asarray, variables))
+
+    h, w = args.hw
+    rng = np.random.default_rng(0)
+    imgs = [jnp.asarray(rng.standard_normal((args.batch, h, w, c), dtype=np.float32))
+            for c in (3, 3, 1, 1)]
+
+    if args.train:
+        from cosnet_tpu.train.optim import GroupedSGD
+        from cosnet_tpu.train.state import TrainState, make_train_step
+
+        optimizer = GroupedSGD()
+        state = TrainState.create(variables, optimizer)
+        state = device_materialize(state)
+        gts = jnp.asarray((rng.uniform(0, 1, (args.batch, h, w)) < 0.3).astype(np.float32))
+        batch = {"target": imgs[0], "search_0": imgs[1], "target_depth": imgs[2],
+                 "search_0_depth": imgs[3], "target_gt": gts, "search_0_gt": gts}
+        step = jax.jit(make_train_step(model, optimizer))
+
+        def run():
+            nonlocal state
+            state, loss = step(state, batch, 1e-4)
+            return loss
+    else:
+        @jax.jit
+        def fwd(v, a, b, da, db):
+            x1, x2, _ = model.apply(v, a, b, da, db, train=False)
+            return x1, x2
+
+        def run():
+            return fwd(variables, *imgs)
+
+    float(jnp.sum(jax.tree.leaves(run())[0]))  # compile + warm
+    trace_dir = args.keep_trace or tempfile.mkdtemp(prefix="xplane_")
+    with jax.profiler.trace(trace_dir):
+        out = None
+        for _ in range(args.steps):
+            out = run()
+        float(jnp.sum(jax.tree.leaves(out)[0]))  # force completion inside trace
+    ms, rows = aggregate_xplane(trace_dir, args.steps)
+    mode = "train" if args.train else "eval"
+    print(f"{mode} {h}x{w} batch {args.batch} {args.dtype}"
+          f"{' remat' if args.remat else ''}: device step {ms:.1f} ms "
+          f"({args.batch / ms * 1e3:.2f} frames/s/chip)")
+    for v, n, c, ex in rows:
+        print(f"  {v:8.2f} ms x{n:<4d} {c:<28s} {ex[:90]}")
+
+
+if __name__ == "__main__":
+    main()
