@@ -134,12 +134,14 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _build_synthetic_tree(root: str, n_seqs: int = 2, frames_per_seq: int = 8):
+def _build_synthetic_tree(root: str, n_seqs: int = 2, frames_per_seq: int = 24):
     """SBM-RGBD-shaped tree (challenge/seq/{input,depth,groundtruth} + ROI.bmp)
-    with enough frames that batch 8 divides evenly."""
+    with enough frames that batch 8 divides evenly and the steady-state
+    window (batches after the first) spans several batches."""
     import cv2
 
-    if os.path.exists(os.path.join(root, ".done")):
+    marker = os.path.join(root, f".done{n_seqs}x{frames_per_seq}")
+    if os.path.exists(marker):
         return
     rng = np.random.default_rng(0)
     h, w = 480, 640  # SBM-RGBD source geometry
@@ -159,7 +161,7 @@ def _build_synthetic_tree(root: str, n_seqs: int = 2, frames_per_seq: int = 8):
             gt = np.zeros((h, w), np.uint8)
             gt[150:330, 200:440] = 255
             cv2.imwrite(os.path.join(seq, "groundtruth", f"gt{fid}.png"), gt)
-    open(os.path.join(root, ".done"), "w").close()
+    open(marker, "w").close()
 
 
 def measure_end_to_end(dtype_name: str, batch: int = 8):
@@ -202,9 +204,13 @@ def measure_end_to_end(dtype_name: str, batch: int = 8):
         logs += [os.path.join(dirpath, f) for f in files if f.endswith("_test_log.txt")]
     for log in logs:
         with open(log) as f:
-            m = re.search(r"frames/sec: ([\d.]+)\s+p50 latency: ([\d.]+) ms", f.read())
-        if m:
-            return float(m.group(1)), float(m.group(2))
+            text = f.read()
+        overall = re.search(r"frames/sec: ([\d.]+)\s+p50 latency: ([\d.]+) ms", text)
+        steady = re.search(r"steady-state frames/sec: ([\d.]+)\s+p50 latency: ([\d.]+) ms", text)
+        if steady:
+            return float(steady.group(1)), float(steady.group(2)), float(overall.group(1))
+        if overall:
+            return float(overall.group(1)), float(overall.group(2)), float(overall.group(1))
     return None
 
 
@@ -240,9 +246,12 @@ def main():
     if not args.skip_end_to_end:
         e2e = measure_end_to_end(args.dtype)
         if e2e:
-            # Decode-bound on this 1-core host (PARITY.md); included so the
-            # pipeline-inclusive number is on record next to the device number.
+            # The REAL test.py loop (loader, ROI, resize, forward, IoU, PNGs)
+            # on a synthetic tree. Steady-state excludes the first batch
+            # (compile-cache load + one-time weight upload through the relay);
+            # the overall number includes them. Host-bound on this 1-core VM.
             out["end_to_end_fps"], out["end_to_end_p50_ms"] = round(e2e[0], 4), round(e2e[1], 1)
+            out["end_to_end_fps_incl_warmup"] = round(e2e[2], 4)
     print(json.dumps(out))
 
 

@@ -127,6 +127,12 @@ def main():
     print(f"{mode} {h}x{w} batch {args.batch} {args.dtype}"
           f"{' remat' if args.remat else ''}: device step {ms:.1f} ms "
           f"({args.batch / ms * 1e3:.2f} frames/s/chip)")
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if stats:
+        gib = 1024 ** 3
+        print(f"  HBM: peak {stats.get('peak_bytes_in_use', 0) / gib:.2f} GiB, "
+              f"in use {stats.get('bytes_in_use', 0) / gib:.2f} GiB, "
+              f"limit {stats.get('bytes_limit', 0) / gib:.2f} GiB")
     for v, n, c, ex in rows:
         print(f"  {v:8.2f} ms x{n:<4d} {c:<28s} {ex[:90]}")
 

@@ -228,6 +228,7 @@ def main():
     iou_result, f_result, iou_counter = 0.0, 0.0, 0
     frames_done, t_start = 0, time.time()
     latencies = []
+    warm_t = warm_frames = None  # set after batch 0 (compile + weight upload)
     for index, (batch, dev_batch, n_real) in enumerate(staged):
         print("%d processd" % index)
         b = batch["target"].shape[0]
@@ -237,6 +238,8 @@ def main():
         mask = np.asarray(mask)[:n_real]
         latencies.append((time.time() - t0) / b)
         frames_done += b
+        if index == 0:
+            warm_t, warm_frames = time.time(), frames_done
 
         for idx in range(b):
             if uint8_on_device:
@@ -276,6 +279,16 @@ def main():
             f"frames: {frames_done}  frames/sec: {frames_done / elapsed:.3f}  "
             f"p50 latency: {np.percentile(latencies, 50) * 1e3:.1f} ms\n"
         )
+        if warm_t is not None and frames_done > warm_frames:
+            # Batch 0 pays one-time costs (jit compile / compile-cache load +
+            # the full weight-tree upload); steady-state excludes it — the
+            # long-run throughput of a production sweep.
+            steady = (frames_done - warm_frames) / (time.time() - warm_t)
+            logger.write(
+                f"steady-state frames/sec: {steady:.3f}  "
+                f"p50 latency: {np.percentile(latencies[1:], 50) * 1e3:.1f} ms  "
+                f"(excluding first batch: compile + weight upload)\n"
+            )
         print("final IOU:", iou_result / iou_counter, " F:", f_result / iou_counter)
     logger.close()
 
