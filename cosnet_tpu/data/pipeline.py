@@ -59,7 +59,8 @@ class BatchLoader:
         if process_shard and process_shard[1] > 1:
             pid, nproc = process_shard
             if batch_size % nproc:
-                raise ValueError(f"global batch {batch_size} must divide {nproc} processes")
+                raise ValueError(
+                    f"global batch {batch_size} must be divisible by the {nproc} processes")
             self.process_shard = (pid, nproc)
         else:
             self.process_shard = None
@@ -79,7 +80,16 @@ class BatchLoader:
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
             if self.process_shard is not None:
                 pid, nproc = self.process_shard
-                local = self.batch_size // nproc
+                # Slice THIS batch's actual length (the trailing batch under
+                # drop_last=False can be short): every process must get an
+                # equal, non-empty share or the per-host shards would
+                # disagree with the global-array layout.
+                local, rem = divmod(len(idxs), nproc)
+                if rem or local == 0:
+                    raise ValueError(
+                        f"batch of {len(idxs)} cannot be split evenly over "
+                        f"{nproc} processes (use drop_last=True or a dataset "
+                        f"size divisible by the global batch)")
                 idxs = idxs[pid * local : (pid + 1) * local]
             if hasattr(self.dataset, "next_batch"):
                 try:

@@ -356,7 +356,9 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref,
     delta = delta_ref[0][:, :1]  # [Bq, 1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    p = jnp.exp(s - lse)
+    # lse = −inf marks a query row with zero valid keys (an all-padding
+    # ring-CP chunk): its softmax was empty, so P must be 0, not exp(+inf).
+    p = jnp.where(lse == NEG_INF, 0.0, jnp.exp(s - jnp.where(lse == NEG_INF, 0.0, lse)))
     col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     p = jnp.where(col < lk, p, 0.0)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -371,10 +373,11 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, valid_ref,
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, dv_ref,
-                      acck_ref, accv_ref, *, block_q: int, lq: int):
-    qi = pl.program_id(2)
+def _flash_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, valid_ref, k_ref, v_ref, dk_ref, dv_ref,
+                      acck_ref, accv_ref, *, block_q: int, block_k: int, lq: int):
+    kj, qi = pl.program_id(1), pl.program_id(2)
     nq = pl.num_programs(2)
+    lk = valid_ref[0, 0]
 
     @pl.when(qi == 0)
     def _init():
@@ -392,13 +395,21 @@ def _flash_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, d
     # explicit [Bk, Bq] relayouts would be VPU shuffles).
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [Bq, Bk]
     row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    p = jnp.where(row < lq, jnp.exp(s - lse), 0.0)
+    col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # Mask padded query rows, padded key columns (runtime kv_valid — ring-CP
+    # chunk tails), and lse = −inf rows (zero valid keys: empty softmax ⇒
+    # P = 0, and exp(s − (−inf)) would be +inf → NaN against the zero do).
+    live = (row < lq) & (col < lk) & (lse != NEG_INF)
+    p = jnp.where(live, jnp.exp(s - jnp.where(lse == NEG_INF, 0.0, lse)), 0.0)
     # dv += pᵀ·do  (contract the shared Bq axis)
     accv_ref[:] = accv_ref[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [Bq, Bk]
-    ds = jnp.where(row < lq, p * (dp - delta), 0.0)
+    # Select, not multiply: padded-edge query rows carry undefined delta/lse
+    # (p = 0 there, but 0 × NaN = NaN would reach every dk row through the
+    # q-axis contraction; a select discards the untaken branch instead).
+    ds = jnp.where(live, p * (dp - delta), 0.0)
     # dk += dsᵀ·q
     acck_ref[:] = acck_ref[:] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -416,8 +427,12 @@ def _flash_bwd_impl(q, k, v, valid, o, lse, do, dlse, block_q: int, block_k: int
     bq = min(block_q, _round_up(lq, 8))
     bk = min(block_k, _round_up(lk, 8))
     # Δ = Σ_c do·o − dL : one cheap fused elementwise+reduce in XLA; stored
-    # lane-broadcast like lse (TPU block shapes need a 128 last dim).
-    delta = jnp.sum(do * o, axis=-1) - jnp.sum(dlse, axis=-1)  # [n, lq] f32
+    # lane-broadcast like lse (TPU block shapes need a 128 last dim). The
+    # C-axis reduction accumulates in f32 even when the residuals are bf16
+    # (a bf16 sum of 256 products costs ~2-3 decimal digits on Δ, which
+    # enters dS = P∘(dP − Δ) directly).
+    delta = (jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+             - jnp.sum(dlse.astype(jnp.float32), axis=-1))  # [n, lq] f32
     delta = jnp.broadcast_to(delta[..., None], (n, lq, 128))
 
     dq = pl.pallas_call(
@@ -444,13 +459,14 @@ def _flash_bwd_impl(q, k, v, valid, o, lse, do, dlse, block_q: int, block_k: int
     )(q, k, v, do, lse, delta, valid)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, block_q=bq, lq=lq),
+        functools.partial(_flash_dkv_kernel, block_q=bq, block_k=bk, lq=lq),
         grid=(n, pl.cdiv(lk, bk), pl.cdiv(lq, bq)),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bq, c), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1), lambda b, j, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bk, c), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bk, c), lambda b, j, i: (b, j, 0)),
         ],
@@ -472,7 +488,7 @@ def _flash_bwd_impl(q, k, v, valid, o, lse, do, dlse, block_q: int, block_k: int
             transcendentals=n * lq * lk,
         ),
         interpret=interpret,
-    )(q, do, lse, delta, k, v)
+    )(q, do, lse, delta, valid, k, v)
     return dq, dk, dv
 
 

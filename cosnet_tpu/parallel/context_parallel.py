@@ -83,11 +83,16 @@ def _chunk_attn(q, k, v, valid, chunk_backend: str):
 
 
 def _combine(o, lse, o_i, lse_i):
-    """Fold one chunk's (o, lse) into the running online-softmax state."""
+    """Fold one chunk's (o, lse) into the running online-softmax state.
+
+    The −inf−(−inf) case (both states empty) is kept out of the exp argument
+    itself, not just the result: ``where(empty, 0, exp(NaN))`` would leak NaN
+    through where's VJP (cotangent × NaN on the untaken branch), so the inner
+    where pins the argument to a finite value first."""
     lse_new = jnp.logaddexp(lse, lse_i)
     empty = jnp.isneginf(lse_new)
-    w0 = jnp.where(empty, 0.0, jnp.exp(lse - lse_new))
-    w1 = jnp.where(empty, 0.0, jnp.exp(lse_i - lse_new))
+    w0 = jnp.where(empty, 0.0, jnp.exp(jnp.where(empty, 0.0, lse - lse_new)))
+    w1 = jnp.where(empty, 0.0, jnp.exp(jnp.where(empty, 0.0, lse_i - lse_new)))
     return o * w0[..., None] + o_i * w1[..., None], lse_new
 
 

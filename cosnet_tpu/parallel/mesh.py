@@ -47,16 +47,28 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     first — those would initialize the backend, after which joining a
     coordinator is impossible.
     """
+    import os
+
     if coordinator_address is None and num_processes in (None, 1):
-        return False  # single-process run: nothing to join
+        # No explicit coordinator: auto-initialize only when the environment
+        # is actually a MULTI-host TPU pod — more than one worker hostname in
+        # the TPU metadata (a single-host TPU VM also sets the variable, with
+        # one entry), or a megascale coordinator. jax.distributed.initialize()
+        # then discovers coordinator/count/id itself. Plain single-host runs
+        # skip without touching jax.distributed.
+        hostnames = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        if len(hostnames) < 2 and not os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            return False  # single-process run: nothing to join
+        args = {}
+    else:
+        args = dict(coordinator_address=coordinator_address,
+                    num_processes=num_processes, process_id=process_id)
     try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        return False  # already initialized (idempotent callers)
+        jax.distributed.initialize(**args)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return False  # idempotent callers
+        raise  # genuine failure (bad coordinator address, ...) must surface
     return True
 
 

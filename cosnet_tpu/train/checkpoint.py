@@ -95,8 +95,10 @@ def restore(path: str, state, restore_momentum: bool = False, mesh=None):
         from jax.sharding import NamedSharding, PartitionSpec
 
         sharding = NamedSharding(mesh, PartitionSpec())  # replicated over the new mesh
+        # x.dtype reads device metadata without the full D2H copy np.asarray
+        # would do on every leaf (jax and numpy arrays both expose it).
         target_state = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype, sharding=sharding),
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding),
             tree,
         )
     else:

@@ -33,7 +33,7 @@ def get_arguments():
                              "(cosnet_tpu/eval/crf.py). The reference accepts this flag "
                              "but its pydensecrf path is commented out (test.py:38-39,76) "
                              "— default off preserves its actual output behavior; pass "
-                             "any truthy value to enable the real thing.")
+                             "true/1/yes/crf to enable the real thing.")
     parser.add_argument("--save_seg_img", default="True")
     parser.add_argument("--sample_range", default=5)
     parser.add_argument("--epoches", default=0)

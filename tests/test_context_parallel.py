@@ -118,3 +118,34 @@ def test_ring_reachable_from_model_dispatch():
         disable_context_parallel()
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_gradients_with_empty_chunk():
+    """The NaN-gradient regression: 35 tokens over 8 chips leaves the last
+    ring chunk with ZERO valid tokens (lse = -inf at that hop). The flash
+    backward kernels must treat lse = -inf as P = 0 (not exp(+inf)) and the
+    online-softmax combine must keep -inf - -inf out of its exp argument
+    (where's VJP multiplies the zero cotangent by the untaken branch)."""
+    from cosnet_tpu.parallel.context_parallel import coattention_ring
+
+    mesh = data_parallel_mesh()
+    rng = np.random.default_rng(6)
+    va = jnp.asarray(rng.standard_normal((1, 5, 7, 32), dtype=np.float32))
+    vb = jnp.asarray(rng.standard_normal((1, 5, 7, 32), dtype=np.float32))
+    kern = jnp.asarray(rng.standard_normal((32, 32), dtype=np.float32) * 0.1)
+
+    def loss_ref(va_, vb_, k_):
+        za, zb = coattention_einsum(va_, vb_, k_)
+        return jnp.sum(za * 0.3 + zb * 0.7)
+
+    ge = jax.grad(loss_ref, argnums=(0, 1, 2))(va, vb, kern)
+    for backend in ("einsum", "pallas"):
+        def loss_ring(va_, vb_, k_, backend=backend):
+            za, zb = coattention_ring(va_, vb_, k_, mesh, chunk_backend=backend)
+            return jnp.sum(za * 0.3 + zb * 0.7)
+
+        with mesh:
+            gr = jax.grad(loss_ring, argnums=(0, 1, 2))(va, vb, kern)
+        for a, b in zip(gr, ge):
+            assert np.isfinite(np.asarray(a)).all(), f"non-finite grads ({backend})"
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-4)
