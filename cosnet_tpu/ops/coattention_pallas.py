@@ -561,6 +561,19 @@ def flash_xattn(q, k, v, block_q: int = 1024, block_k: int = 512,
     return (o, lse[:, :, 0]) if return_lse else o
 
 
+# The bidirectional kernel keeps the column direction's accumulator resident
+# in VMEM as [C, round_up(Lk, block_k)] f32; past this budget (v5e scoped-vmem
+# limit is 16 MB and the tile buffers need headroom) it cannot compile, so the
+# dispatch falls back to two streaming passes, which scale to any L with
+# O(block) memory. 480×854/os8 (HW=6527, C=256) uses 6.8 MB → fused path.
+_BIDIR_COL_STATE_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _bidir_fits(c: int, lk: int, block_k: int = 512) -> bool:
+    c_pad = _round_up(c, 128)
+    return 4 * c_pad * _round_up(lk, block_k) <= _BIDIR_COL_STATE_BUDGET_BYTES
+
+
 def coattention_pallas(va, vb, kernel):
     """Fused bidirectional co-attention (see cosnet_tpu/nn/coattention.py).
 
@@ -569,11 +582,19 @@ def coattention_pallas(va, vb, kernel):
     softmaxes (3 matmuls/tile instead of 4 — ROADMAP #1). Autodiff flows
     through the custom VJP (the two directions' streaming backward kernels),
     so the HW×HW affinity is never materialized in HBM, forward or backward.
+
+    Above ``_BIDIR_COL_STATE_BUDGET_BYTES`` tokens×channels the fused kernel's
+    VMEM-resident column state no longer fits and the two-pass streaming form
+    takes over (4 matmuls/tile but O(block) memory — any resolution).
     """
     n, h, w, c = va.shape
     hb, wb = vb.shape[1:3]
     a = va.reshape(n, h * w, c)
     b = vb.reshape(n, hb * wb, c)
     p = jnp.einsum("nic,cd->nid", a, kernel, preferred_element_type=jnp.float32).astype(a.dtype)
-    z_a, _, z_b, _ = flash_xattn_bidir(p, b, a)
+    if _bidir_fits(c, b.shape[1]):
+        z_a, _, z_b, _ = flash_xattn_bidir(p, b, a)
+    else:
+        z_a = flash_xattn(p, b, b)
+        z_b = flash_xattn(b, p, a)
     return z_a.reshape(n, h, w, c), z_b.reshape(n, hb, wb, c)

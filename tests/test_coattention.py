@@ -187,3 +187,30 @@ def test_flash_bidir_gradients_match_einsum():
     gg = jax.grad(loss_gold, argnums=(0, 1, 2))(p, b, a)
     for x, y in zip(gf, gg):
         assert float(jnp.max(jnp.abs(x - y))) / float(jnp.max(jnp.abs(y))) < 1e-4
+
+
+def test_bidir_dispatch_budget():
+    """The fused bidirectional kernel is only used while its VMEM-resident
+    column state fits (v5e scoped-vmem limit); beyond that coattention_pallas
+    must take the two-pass streaming form, which scales to any resolution."""
+    from cosnet_tpu.ops.coattention_pallas import _bidir_fits
+
+    assert _bidir_fits(256, 61 * 107)        # 480x854/os8: 6.8 MB — fused
+    assert not _bidir_fits(256, 120 * 214)   # 960x1708/os8: 26.7 MB — two-pass
+
+
+def test_coattention_pallas_two_pass_fallback_matches_einsum(monkeypatch):
+    """Force the fallback at a small size and check numerical equivalence."""
+    from cosnet_tpu.ops import coattention_pallas as mod
+    from cosnet_tpu.nn.coattention import coattention_einsum
+
+    rng = np.random.default_rng(7)
+    va = jnp.asarray(rng.standard_normal((1, 9, 11, 128), dtype=np.float32))
+    vb = jnp.asarray(rng.standard_normal((1, 9, 11, 128), dtype=np.float32))
+    kern = jnp.asarray(rng.standard_normal((128, 128), dtype=np.float32) * 0.1)
+    want = coattention_einsum(va, vb, kern)
+    monkeypatch.setattr(mod, "_BIDIR_COL_STATE_BUDGET_BYTES", 1)
+    assert not mod._bidir_fits(128, 99)
+    got = mod.coattention_pallas(va, vb, kern)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
