@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="profile the jitted train step (fwd+bwd+grouped SGD) "
                          "with --remat semantics instead of the eval forward")
+    ap.add_argument("--multiref", type=int, default=0, metavar="R",
+                    help="profile the PRODUCTION multi-reference eval path "
+                         "(eval/infer.py: shared target encode + R reference "
+                         "frames batched through one co-attention) instead of "
+                         "the plain pair forward")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--keep-trace", default="", help="directory to keep the trace in")
     args = ap.parse_args()
@@ -90,7 +95,17 @@ def main():
     imgs = [jnp.asarray(rng.standard_normal((args.batch, h, w, c), dtype=np.float32))
             for c in (3, 3, 1, 1)]
 
-    if args.train:
+    if args.multiref:
+        from cosnet_tpu.eval.infer import build_multi_reference_forward
+
+        r = args.multiref
+        fwd_mr = build_multi_reference_forward(model, n_inputs=4, as_uint8=True)
+        searches = jnp.asarray(rng.standard_normal((args.batch, r, h, w, 3), dtype=np.float32))
+        s_depths = jnp.asarray(rng.standard_normal((args.batch, r, h, w, 1), dtype=np.float32))
+
+        def run():
+            return fwd_mr(variables, imgs[0], searches, imgs[2], s_depths)
+    elif args.train:
         from cosnet_tpu.train.optim import GroupedSGD
         from cosnet_tpu.train.state import TrainState, make_train_step
 
@@ -123,7 +138,7 @@ def main():
             out = run()
         float(jnp.sum(jax.tree.leaves(out)[0]))  # force completion inside trace
     ms, rows = aggregate_xplane(trace_dir, args.steps)
-    mode = "train" if args.train else "eval"
+    mode = f"multiref(R={args.multiref})" if args.multiref else ("train" if args.train else "eval")
     print(f"{mode} {h}x{w} batch {args.batch} {args.dtype}"
           f"{' remat' if args.remat else ''}: device step {ms:.1f} ms "
           f"({args.batch / ms * 1e3:.2f} frames/s/chip)")
