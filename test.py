@@ -226,6 +226,7 @@ def main():
     staged = map(stage, iter(testloader)) if args.no_prefetch \
         else device_prefetch(iter(testloader), put=stage)
     iou_result, f_result, iou_counter = 0.0, 0.0, 0
+    per_challenge = {}  # challenge -> (iou sum, F sum, frames)
     frames_done, t_start = 0, time.time()
     latencies = []
     warm_t = warm_frames = None  # set after batch 0 (compile + weight upload)
@@ -266,12 +267,24 @@ def main():
             iou_result += iou
             f_result += fm
             iou_counter += 1
+            # SBM-RGBD seq names are "<challenge>/<seq>"; aggregate per
+            # challenge so one run reports the full 7-subset sweep table
+            # (BASELINE.md's north-star eval; other datasets fall into one
+            # bucket named after the sequence prefix).
+            chal = seq.split("/")[0] if "/" in seq else seq
+            c_iou, c_f, c_n = per_challenge.get(chal, (0.0, 0.0, 0))
+            per_challenge[chal] = (c_iou + iou, c_f + fm, c_n + 1)
             if output_img_dir:
                 save_dir = os.path.join(output_img_dir, seq)
                 os.makedirs(save_dir, exist_ok=True)
                 Image.fromarray(mask_u8, mode="L").save(os.path.join(save_dir, f"{fid}.png"))
 
     if iou_counter:
+        if len(per_challenge) > 1:
+            for chal in sorted(per_challenge):
+                c_iou, c_f, c_n = per_challenge[chal]
+                logger.write(f"##== subset {chal}: IOU: {c_iou / c_n} "
+                             f"F-measure: {c_f / c_n} frames: {c_n} ==##\n")
         logger.final_iou(iou_result / iou_counter)
         logger.write(f"final F-measure: {f_result / iou_counter}\n")
         elapsed = time.time() - t_start
