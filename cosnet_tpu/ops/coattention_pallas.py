@@ -593,7 +593,11 @@ def coattention_pallas(va, vb, kernel):
     b = vb.reshape(n, hb * wb, c)
     p = jnp.einsum("nic,cd->nid", a, kernel, preferred_element_type=jnp.float32).astype(a.dtype)
     if _bidir_fits(c, b.shape[1]):
-        z_a, _, z_b, _ = flash_xattn_bidir(p, b, a)
+        # Block choice is dtype-dependent (v5e sweep, benchmarks/kernel_bench.py):
+        # bf16 halves the q/k tile bytes, so the deeper (512, 512) grid fits
+        # VMEM and wins; at f32 it overflows and (256, 512) is best.
+        bq = 512 if p.dtype == jnp.bfloat16 else 256
+        z_a, _, z_b, _ = flash_xattn_bidir(p, b, a, block_q=bq, block_k=512)
     else:
         z_a = flash_xattn(p, b, b)
         z_b = flash_xattn(b, p, a)
