@@ -62,3 +62,22 @@ def test_initialize_distributed_single_process_noop():
     assert initialize_distributed() is False
     assert initialize_distributed(num_processes=1) is False
     assert jax.process_count() == 1
+
+
+def test_initialize_distributed_pod_autodetect(monkeypatch):
+    """With >1 worker hostname in the TPU metadata (a real multi-host pod),
+    all-None args must reach jax.distributed.initialize() for
+    auto-discovery; a single hostname (every TPU VM sets the variable) must
+    not."""
+    from cosnet_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.append(kw))
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b,host-c,host-d")
+    assert mesh_mod.initialize_distributed() is True
+    assert calls == [{}]  # auto-discovery: no explicit coordinator args
+
+    calls.clear()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert mesh_mod.initialize_distributed() is False
+    assert calls == []
