@@ -33,6 +33,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 H, W = 480, 854
+# Speed-of-light for this step on v5e: 28.83 TFLOP @ 197 TFLOP/s bf16 with
+# the HBM floor folded in — per-op xplane analysis in docs/PERF_r2.md.
+SOL_MS = 146.0
 
 
 def measure_torch_cpu(iters: int = 2) -> float:
@@ -164,10 +167,10 @@ def _build_synthetic_tree(root: str, n_seqs: int = 2, frames_per_seq: int = 24):
     open(marker, "w").close()
 
 
-def measure_end_to_end(dtype_name: str, batch: int = 8):
+def measure_end_to_end(dtype_name: str, batch: int = 8, extra_args=()):
     """Run ``test.py`` (the real eval driver: loader, ROI, resize, multi-ref
     forward, IoU, PNG output) against a synthetic tree; parse its throughput
-    log line. Returns (fps, p50_ms) or None on failure."""
+    log line. Returns (steady_fps, p50_ms, overall_fps) or None on failure."""
     import tempfile
 
     import yaml
@@ -194,7 +197,7 @@ def measure_end_to_end(dtype_name: str, batch: int = 8):
     env = dict(os.environ, PYTHONPATH=f"{REPO}:{existing}" if existing else REPO)
     cmd = [sys.executable, os.path.join(REPO, "test.py"), "--dataset", "sbmrgbd",
            "--model", "raa", "--batch_size", str(batch), "--dtype", dtype_name,
-           "--no-shuffle", "--save_seg_img", ""]
+           "--no-shuffle", "--save_seg_img", ""] + list(extra_args)
     proc = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True, timeout=3600)
     if proc.returncode != 0:
         sys.stderr.write(f"end-to-end bench failed:\n{proc.stderr[-2000:]}\n")
@@ -233,10 +236,18 @@ def main():
         "metric": f"raa_inference_frames_per_sec_per_chip_480x854_batch{args.batch}_{args.dtype}",
         "value": round(fps, 4),
         "unit": "frames/sec",
+        # The driver-contract ratio. Context for the large number: the
+        # baseline is the reference torch model on THIS host's single CPU
+        # core (~76 s/frame, BENCH_BASELINE.json) — the only hardware the
+        # reference can run on in this environment.
         "vs_baseline": round(fps / base, 2),
-        # wall step = device step + per-iteration host sync (see
-        # measure_sync_overhead_ms): the split makes runs through relays
-        # with different round-trip latencies comparable.
+        "baseline_is": "torch_cpu_1core_480x854",
+        # Honest primary metrics: fraction of the v5e speed-of-light the
+        # device step achieves (1.0 == nothing left under architecture
+        # parity; docs/PERF_r2.md), and the split of wall step into device
+        # step + per-iteration host sync (the tunneled-relay round-trip
+        # varies 3-29 ms/session — the split makes sessions comparable).
+        "sol_fraction": round(SOL_MS / device_step_ms, 4) if device_step_ms else None,
         "sync_overhead_ms": round(sync_ms, 2),
         "device_step_ms": round(device_step_ms, 2),
         "device_fps": round(args.batch / device_step_ms * 1e3, 4) if device_step_ms else None,
@@ -244,14 +255,25 @@ def main():
     if not args.skip_f32 and args.dtype != "float32":
         out["f32_fps"] = round(measure_tpu(args.iters, args.batch, args.backend, "float32"), 4)
     if not args.skip_end_to_end:
-        e2e = measure_end_to_end(args.dtype)
+        # The REAL test.py loop (loader, ROI crop, resize, multi-ref forward,
+        # soft-IoU, mask PNGs) on a synthetic tree, production config:
+        # --device-preprocess ships ROI-cropped uint8 source frames and runs
+        # resize+mean-sub on device — the eval loop is transfer-bound through
+        # the ~35-40 MB/s tunneled relay, so uint8 staging is the production
+        # path (masks == host path at uint8 scale; same final-IoU fingerprint
+        # on this tree). Steady-state excludes batch 0 (compile-cache load +
+        # one-time weight upload).
+        e2e = measure_end_to_end(args.dtype, extra_args=["--device-preprocess"])
         if e2e:
-            # The REAL test.py loop (loader, ROI, resize, forward, IoU, PNGs)
-            # on a synthetic tree. Steady-state excludes the first batch
-            # (compile-cache load + one-time weight upload through the relay);
-            # the overall number includes them. Host-bound on this 1-core VM.
             out["end_to_end_fps"], out["end_to_end_p50_ms"] = round(e2e[0], 4), round(e2e[1], 1)
             out["end_to_end_fps_incl_warmup"] = round(e2e[2], 4)
+        # Same loop with fully host-side preprocessing (the reference's exact
+        # float path, bit-exact loader parity) — kept for comparability with
+        # BENCH_r01/r02.
+        ref = measure_end_to_end(args.dtype)
+        if ref:
+            out["end_to_end_fps_hostpath"] = round(ref[0], 4)
+            out["end_to_end_p50_ms_hostpath"] = round(ref[1], 1)
     print(json.dumps(out))
 
 

@@ -20,6 +20,7 @@ import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
 from cosnet_tpu.data.aug_state import AugRatios, derived_rng, derived_uniform
+from cosnet_tpu.data.frame_cache import FrameCache, budget_from_env
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord
 
 
@@ -38,6 +39,7 @@ class DavisDataset:
         static_shapes: bool = True,
         augment_on_host: bool = True,
         resolution: str = "480p",
+        decode_cache_mb: Optional[float] = None,
     ):
         self.dataset_root = dataset_root
         self.sample_range = sample_range
@@ -54,6 +56,9 @@ class DavisDataset:
         self._epoch = 0
         self.flip_prob_of_seqs = {}
         self._ratios = AugRatios()  # thread-local: per-worker == per-batch
+        # Decoded-frame LRU (frame_cache.py): eval revisits each frame up to
+        # sample_range+1 times; decode→resize is deterministic per frame.
+        self._cache = FrameCache(budget_from_env(decode_cache_mb))
 
         if sequences is None and subset_file and os.path.isfile(subset_file):
             with open(subset_file) as f:
@@ -87,6 +92,24 @@ class DavisDataset:
                 index.add_sequence(seq, frames)
         return index
 
+    def _decode_rgb(self, frame: FrameRecord) -> np.ndarray:
+        img = cv2.imread(os.path.join(self._img_dir(frame.seq_name), frame.rgb_name), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(frame.rgb_name)
+        img = img.astype(np.float32) - self.meanval
+        if self.output_HW is not None:
+            img = cv2.resize(img, (self.output_HW[1], self.output_HW[0]))
+        return img
+
+    def _decode_gt(self, frame: FrameRecord) -> np.ndarray:
+        g = cv2.imread(os.path.join(self._ann_dir(frame.seq_name), frame.gt_name), cv2.IMREAD_GRAYSCALE)
+        if g is None:
+            raise FileNotFoundError(frame.gt_name)
+        g = (g != 0).astype(np.uint8)
+        if self.output_HW is not None:
+            g = cv2.resize(g, (self.output_HW[1], self.output_HW[0]), interpolation=cv2.INTER_NEAREST)
+        return g
+
     def load_frame(self, frame: FrameRecord, with_gt: bool = True, rng=None):
         out_hw = self.output_HW
         train = self.for_training and self.augment_on_host
@@ -96,24 +119,16 @@ class DavisDataset:
             flip_p = self._flip_prob(frame.seq_name)
             static = out_hw if self.static_shapes else None
 
-        img = cv2.imread(os.path.join(self._img_dir(frame.seq_name), frame.rgb_name), cv2.IMREAD_COLOR)
-        if img is None:
-            raise FileNotFoundError(frame.rgb_name)
-        img = img.astype(np.float32) - self.meanval
-        if out_hw is not None:
-            img = cv2.resize(img, (out_hw[1], out_hw[0]))
+        img = self._cache.get_or_build(
+            ("rgb", frame.seq_name, frame.rgb_name), lambda: self._decode_rgb(frame))
         if train:
             img, offset = augment_frame(img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static)
         rgb = np.ascontiguousarray(img, dtype=np.float32)
 
         gt = np.zeros((1, 1), dtype=np.uint8)
         if with_gt:
-            g = cv2.imread(os.path.join(self._ann_dir(frame.seq_name), frame.gt_name), cv2.IMREAD_GRAYSCALE)
-            if g is None:
-                raise FileNotFoundError(frame.gt_name)
-            g = (g != 0).astype(np.uint8)
-            if out_hw is not None:
-                g = cv2.resize(g, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+            g = self._cache.get_or_build(
+                ("t", frame.seq_name, frame.gt_name), lambda: self._decode_gt(frame))
             if train:
                 g, offset = augment_frame(g, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, nearest=True, static_hw=static)
             gt = np.ascontiguousarray(g, dtype=np.uint8)

@@ -29,6 +29,7 @@ import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
 from cosnet_tpu.data.aug_state import AugRatios, derived_rng, derived_uniform
+from cosnet_tpu.data.frame_cache import FrameCache, budget_from_env
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord
 
 FOLDERS = {"rgb": "RGB_data", "depth": "Depth_data", "gt": "Label"}
@@ -53,6 +54,7 @@ class HzfuRgbdDataset:
         use_native: bool = False,
         augment_on_host: bool = True,
         output_dir_for_debug: Optional[str] = None,
+        decode_cache_mb: Optional[float] = None,
     ):
         self.dataset_root = dataset_root
         self.sample_range = sample_range
@@ -80,6 +82,11 @@ class HzfuRgbdDataset:
         self.flip_prob_of_seqs: Dict[str, float] = {}
         self.depth_min_max: Dict[str, List[float]] = {}
         self._ratios = AugRatios()  # thread-local: per-worker == per-batch
+        # Decoded-frame LRU (frame_cache.py): eval revisits each frame up to
+        # sample_range+1 times; decode→resize→normalize is deterministic per
+        # (kind, frame). The per-seq min/max bookkeeping runs on first decode
+        # only — idempotent, since a frame's dmin/dmax never change.
+        self._cache = FrameCache(budget_from_env(decode_cache_mb))
 
         self.entire = self._load_meta_data()
         self.index = self._split(subset, subset_percentage, split_method)
@@ -156,11 +163,45 @@ class HzfuRgbdDataset:
         depth = (depth - dmin) * 255.0 / (dmax - dmin)  # min-max normalize (:505)
         return depth, dmin, dmax
 
+    def _decode_depth(self, frame: FrameRecord) -> np.ndarray:
+        path = os.path.join(self.dataset_root, FOLDERS["depth"], frame.seq_name, frame.depth_name)
+        d2d, dmin, dmax = self._load_mat_depth(path)
+        mm = self.depth_min_max.setdefault(frame.seq_name, [dmin, dmax])
+        mm[0] = max(mm[0], dmin)  # reference bookkeeping (:544-550)
+        mm[1] = min(mm[1], dmax)
+        return d2d
+
+    def _decode_rgb(self, frame: FrameRecord) -> np.ndarray:
+        out_hw = self.output_HW
+        path = os.path.join(self.dataset_root, FOLDERS["rgb"], frame.seq_name, frame.rgb_name)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.use_native and out_hw is not None:
+            # Fused native path (±1 intensity vs the reference's lossy
+            # u8→u8 cv2 resize, which rounds before the mean subtraction).
+            img = self._native.fused_crop_resize_meansub(img, None, out_hw, None)
+            return np.rint(img) - self.meanval
+        if out_hw is not None:
+            img = cv2.resize(img, (out_hw[1], out_hw[0]))
+        return img.astype(np.float32) - self.meanval  # resize THEN -mean (:521-525)
+
+    def _decode_gt(self, frame: FrameRecord) -> np.ndarray:
+        out_hw = self.output_HW
+        path = os.path.join(self.dataset_root, FOLDERS["gt"], frame.seq_name, frame.gt_name)
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        if out_hw is not None:
+            img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+        return (img != 0).astype(np.uint8)  # resize then binarize (:567-570)
+
     def load_frame(self, frame: FrameRecord, channels: str, rng=None):
         out_hw = self.output_HW
         train = self.for_training and self.augment_on_host
         offset = None
         rng = rng if rng is not None else self.rng
+        cached = self._cache.get_or_build
         if train:
             flip_p = self._flip_prob(frame.seq_name)
             static = out_hw if self.static_shapes else None
@@ -170,11 +211,7 @@ class HzfuRgbdDataset:
         gt = np.zeros((1, 1), dtype=np.uint8)
 
         if "d" in channels:
-            path = os.path.join(self.dataset_root, FOLDERS["depth"], frame.seq_name, frame.depth_name)
-            d2d, dmin, dmax = self._load_mat_depth(path)
-            mm = self.depth_min_max.setdefault(frame.seq_name, [dmin, dmax])
-            mm[0] = max(mm[0], dmin)  # reference bookkeeping (:544-550)
-            mm[1] = min(mm[1], dmax)
+            d2d = cached(("d", frame.seq_name, frame.depth_name), lambda: self._decode_depth(frame))
             if train:
                 d2d, offset = augment_frame(
                     d2d, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static
@@ -182,19 +219,7 @@ class HzfuRgbdDataset:
             depth = np.ascontiguousarray(d2d, dtype=np.float32)[:, :, None]
 
         if "rgb" in channels:
-            path = os.path.join(self.dataset_root, FOLDERS["rgb"], frame.seq_name, frame.rgb_name)
-            img = cv2.imread(path, cv2.IMREAD_COLOR)
-            if img is None:
-                raise FileNotFoundError(path)
-            if self.use_native and out_hw is not None:
-                # Fused native path (±1 intensity vs the reference's lossy
-                # u8→u8 cv2 resize, which rounds before the mean subtraction).
-                img = self._native.fused_crop_resize_meansub(img, None, out_hw, None)
-                img = np.rint(img) - self.meanval
-            else:
-                if out_hw is not None:
-                    img = cv2.resize(img, (out_hw[1], out_hw[0]))
-                img = img.astype(np.float32) - self.meanval  # resize THEN -mean (:521-525)
+            img = cached(("rgb", frame.seq_name, frame.rgb_name), lambda: self._decode_rgb(frame))
             if train:
                 img, offset = augment_frame(
                     img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static
@@ -207,13 +232,7 @@ class HzfuRgbdDataset:
             rgb = np.ascontiguousarray(rgb, dtype=np.float32)
 
         if "t" in channels:
-            path = os.path.join(self.dataset_root, FOLDERS["gt"], frame.seq_name, frame.gt_name)
-            img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-            if img is None:
-                raise FileNotFoundError(path)
-            if out_hw is not None:
-                img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
-            img = (img != 0).astype(np.uint8)  # resize then binarize (:567-570)
+            img = cached(("t", frame.seq_name, frame.gt_name), lambda: self._decode_gt(frame))
             if train:
                 img, offset = augment_frame(
                     img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, nearest=True, static_hw=static

@@ -31,6 +31,7 @@ import numpy as np
 
 from cosnet_tpu.data.augment import augment_frame
 from cosnet_tpu.data.aug_state import AugRatios, derived_rng, derived_uniform
+from cosnet_tpu.data.frame_cache import FrameCache, budget_from_env
 from cosnet_tpu.data.manifest import FrameIndex, FrameRecord, split_index
 from cosnet_tpu.data.roi import Boundary, crop_to_roi, find_roi
 
@@ -57,7 +58,15 @@ class SbmRgbdDataset:
         augment_on_host: bool = True,
         log_func=None,
         output_dir_for_debug: Optional[str] = None,
+        decode_cache_mb: Optional[float] = None,
+        raw_eval: bool = False,
     ):
+        """``raw_eval``: eval-only mode for the device-preprocess pipeline
+        (data/device_preprocess.py): samples carry ROI-cropped SOURCE-res
+        uint8 frames zero-padded to one static hull + their true (h, w) —
+        ~10x fewer H2D bytes than preprocessed f32; resize/mean-sub run on
+        device inside the jitted forward. GT stays host-processed at model
+        resolution (it is only scored, never transferred)."""
         self.dataset_root = dataset_root
         self.sample_range = sample_range
         self.output_HW = tuple(output_HW) if output_HW else None
@@ -82,7 +91,16 @@ class SbmRgbdDataset:
         self.seed = seed
         self.rng = random.Random(seed) if seed is not None else random.Random()
         self._epoch = 0
+        # Decoded-frame LRU (see frame_cache.py): the eval protocol re-decodes
+        # each frame up to sample_range+1 times; decode→ROI→resize is
+        # deterministic per (kind, frame), augmentation happens after.
+        self._cache = FrameCache(budget_from_env(decode_cache_mb))
+        if raw_eval and for_training:
+            raise ValueError("raw_eval is an eval-only mode (augmentation needs host frames)")
+        self.raw_eval = raw_eval
+        self._raw_hull: Optional[Tuple[int, int]] = None  # lazy static pad size
         self.roi: Dict[str, Boundary] = {}
+        self.source_hw: Dict[str, Tuple[int, int]] = {}  # seq -> ROI.bmp shape
         self.flip_prob_of_seqs: Dict[str, float] = {}
         self._ratios = AugRatios()  # thread-local: per-worker == per-batch
 
@@ -113,6 +131,7 @@ class SbmRgbdDataset:
                 roi_img = cv2.imread(roi_path, cv2.IMREAD_GRAYSCALE)
                 if roi_img is not None:
                     self.roi[seq] = find_roi(roi_img)
+                    self.source_hw[seq] = roi_img.shape[:2]
 
                 frames = []
                 for gt_name in sorted(listing["gt"]):
@@ -137,32 +156,110 @@ class SbmRgbdDataset:
         if self.log_func:
             self.log_func(msg)
 
+    def _decode_rgb(self, frame: FrameRecord) -> np.ndarray:
+        roi, out_hw = self.roi.get(frame.seq_name), self.output_HW
+        img = cv2.imread(self._path("rgb", frame), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(self._path("rgb", frame))
+        if self.use_native and out_hw is not None:
+            # One fused native pass: ROI crop + bilinear resize + -mean
+            # (mean subtraction commutes with bilinear resampling).
+            return self._native.fused_crop_resize_meansub(img, roi, out_hw, self.meanval)
+        img = img.astype(np.float32) - self.meanval  # BGR − mean (:609)
+        img = np.stack([crop_to_roi(img[:, :, i], roi) for i in range(3)], axis=-1)
+        if out_hw is not None:
+            img = cv2.resize(img, (out_hw[1], out_hw[0]))
+        return img
+
+    def _decode_depth(self, frame: FrameRecord) -> np.ndarray:
+        roi, out_hw = self.roi.get(frame.seq_name), self.output_HW
+        img = cv2.imread(self._path("depth", frame), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(self._path("depth", frame))
+        if self.use_native and out_hw is not None:
+            return self._native.fused_crop_resize_meansub(img, roi, out_hw, None)[:, :, 0]
+        img = crop_to_roi(img.astype(np.float32), roi)
+        if out_hw is not None:
+            img = cv2.resize(img, (out_hw[1], out_hw[0]))
+        return img
+
+    def _decode_gt(self, frame: FrameRecord) -> np.ndarray:
+        roi, out_hw = self.roi.get(frame.seq_name), self.output_HW
+        img = cv2.imread(self._path("gt", frame), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(self._path("gt", frame))
+        if self.use_native and out_hw is not None:
+            return self._native.fused_crop_resize_nearest(img, roi, out_hw, binarize=True)
+        img = (img != 0).astype(np.uint8)
+        img = crop_to_roi(img, roi)
+        if out_hw is not None:
+            img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+        return img
+
+    # -- raw (device-preprocess) loading ------------------------------------
+
+    def _decode_raw(self, kind: str, frame: FrameRecord) -> np.ndarray:
+        """ROI-cropped source-resolution uint8 frame (no resize, no float)."""
+        flag = cv2.IMREAD_COLOR if kind == "rgb" else cv2.IMREAD_GRAYSCALE
+        img = cv2.imread(self._path(kind, frame), flag)
+        if img is None:
+            raise FileNotFoundError(self._path(kind, frame))
+        return crop_to_roi(img, self.roi.get(frame.seq_name))
+
+    def raw_hull(self) -> Tuple[int, int]:
+        """Static (H, W) hull every cropped frame pads into — max crop size
+        over the active sequences (one XLA compilation covers the dataset)."""
+        if self._raw_hull is None:
+            h = w = 1
+            for seq in self.index.sequences:
+                if seq in self.source_hw:
+                    sh, sw = self.source_hw[seq]
+                else:  # no ROI.bmp: source size from one decoded frame
+                    probe = self._decode_raw("depth", self.index.frames_of(seq)[0])
+                    self.source_hw[seq] = probe.shape[:2]
+                    sh, sw = probe.shape[:2]
+                roi = self.roi.get(seq)
+                if roi is not None:
+                    (x_lo, x_hi), (y_lo, y_hi) = roi
+                    sh = min(y_hi + 1 - y_lo, sh)
+                    sw = min(x_hi + 1 - x_lo, sw)
+                h, w = max(h, sh), max(w, sw)
+            self._raw_hull = (h, w)
+        return self._raw_hull
+
+    def _raw_frame(self, frame: FrameRecord, with_gt: bool):
+        """(rgb u8 [Hh,Wh,3] padded, depth u8 [Hh,Wh] padded, hw i32 [2],
+        gt [H,W] u8 at model res or None)."""
+        hh, wh = self.raw_hull()
+        rgb = self._cache.get_or_build(("rgb_raw", frame.seq_name, frame.rgb_name),
+                                       lambda: self._decode_raw("rgb", frame))
+        depth = self._cache.get_or_build(("d_raw", frame.seq_name, frame.depth_name),
+                                         lambda: self._decode_raw("depth", frame))
+        h, w = rgb.shape[:2]
+        rgb_p = np.zeros((hh, wh, 3), np.uint8)
+        rgb_p[:h, :w] = rgb
+        d_p = np.zeros((hh, wh), np.uint8)
+        d_p[:h, :w] = depth[:h, :w]
+        gt = None
+        if with_gt:
+            gt = self._cache.get_or_build(("t", frame.seq_name, frame.gt_name),
+                                          lambda: self._decode_gt(frame))
+        return rgb_p, d_p, np.asarray([h, w], np.int32), gt
+
     def load_frame(self, frame: FrameRecord, channels: str = "rgbdt", rng=None):
         """Returns (rgb [H,W,3] f32, depth [H,W,1] f32, gt [H,W] u8)."""
-        roi = self.roi.get(frame.seq_name)
         out_hw = self.output_HW
         train = self.for_training and self.augment_on_host
         offset = None
-        rgb = depth = gt = None
         rng = rng if rng is not None else self.rng
+        cached = self._cache.get_or_build
 
         if train:
             flip_p = self._flip_prob(frame.seq_name)
             static = out_hw if self.static_shapes else None
 
         if "rgb" in channels:
-            img = cv2.imread(self._path("rgb", frame), cv2.IMREAD_COLOR)
-            if img is None:
-                raise FileNotFoundError(self._path("rgb", frame))
-            if self.use_native and out_hw is not None:
-                # One fused native pass: ROI crop + bilinear resize + -mean
-                # (mean subtraction commutes with bilinear resampling).
-                img = self._native.fused_crop_resize_meansub(img, roi, out_hw, self.meanval)
-            else:
-                img = img.astype(np.float32) - self.meanval  # BGR − mean (:609)
-                img = np.stack([crop_to_roi(img[:, :, i], roi) for i in range(3)], axis=-1)
-                if out_hw is not None:
-                    img = cv2.resize(img, (out_hw[1], out_hw[0]))
+            img = cached(("rgb", frame.seq_name, frame.rgb_name), lambda: self._decode_rgb(frame))
             if train:
                 img, offset = augment_frame(
                     img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static
@@ -172,15 +269,7 @@ class SbmRgbdDataset:
             rgb = np.zeros((1, 1, 3), dtype=np.float32)
 
         if "d" in channels:
-            img = cv2.imread(self._path("depth", frame), cv2.IMREAD_GRAYSCALE)
-            if img is None:
-                raise FileNotFoundError(self._path("depth", frame))
-            if self.use_native and out_hw is not None:
-                img = self._native.fused_crop_resize_meansub(img, roi, out_hw, None)[:, :, 0]
-            else:
-                img = crop_to_roi(img.astype(np.float32), roi)
-                if out_hw is not None:
-                    img = cv2.resize(img, (out_hw[1], out_hw[0]))
+            img = cached(("d", frame.seq_name, frame.depth_name), lambda: self._decode_depth(frame))
             if train:
                 img, offset = augment_frame(
                     img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, static_hw=static
@@ -190,16 +279,7 @@ class SbmRgbdDataset:
             depth = np.zeros((1, 1, 1), dtype=np.float32)
 
         if "t" in channels:
-            img = cv2.imread(self._path("gt", frame), cv2.IMREAD_GRAYSCALE)
-            if img is None:
-                raise FileNotFoundError(self._path("gt", frame))
-            if self.use_native and out_hw is not None:
-                img = self._native.fused_crop_resize_nearest(img, roi, out_hw, binarize=True)
-            else:
-                img = (img != 0).astype(np.uint8)
-                img = crop_to_roi(img, roi)
-                if out_hw is not None:
-                    img = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+            img = cached(("t", frame.seq_name, frame.gt_name), lambda: self._decode_gt(frame))
             if train:
                 img, offset = augment_frame(
                     img, self._ratios.crop_ratio, self._ratios.scale_ratio, flip_p, offset, rng, nearest=True, static_hw=static
@@ -245,8 +325,13 @@ class SbmRgbdDataset:
         frame = self.index.frames[frame_index]
         rng = self._sample_rng(frame_index)
         sample = {"seq_name": frame.seq_name, "frame_index": frame.frame_id}
-        rgb, depth, gt = self.load_frame(frame, self.channels_for_target_frame, rng=rng)
-        sample["target"], sample["target_depth"], sample["target_gt"] = rgb, depth, gt
+        if self.raw_eval:
+            rgb, depth, hw, gt = self._raw_frame(frame, with_gt=True)
+            sample["target"], sample["target_depth"], sample["target_hw"] = rgb, depth, hw
+            sample["target_gt"] = gt
+        else:
+            rgb, depth, gt = self.load_frame(frame, self.channels_for_target_frame, rng=rng)
+            sample["target"], sample["target_depth"], sample["target_gt"] = rgb, depth, gt
 
         lo, hi = self.index.ranges[frame.seq_name]
         if self.sample_range >= 1:
@@ -261,10 +346,16 @@ class SbmRgbdDataset:
             picks = [frame_index]  # self-pair (:562-563)
         for i, idx in enumerate(picks):
             cp = self.index.frames[idx]
-            c_rgb, c_depth, c_gt = self.load_frame(cp, self.channels_for_counterpart_frame, rng=rng)
-            sample[f"search_{i}"] = c_rgb
-            sample[f"search_{i}_depth"] = c_depth
-            sample[f"search_{i}_gt"] = c_gt
+            if self.raw_eval:
+                c_rgb, c_depth, c_hw, _ = self._raw_frame(cp, with_gt=False)
+                sample[f"search_{i}"] = c_rgb
+                sample[f"search_{i}_depth"] = c_depth
+                sample[f"search_{i}_hw"] = c_hw
+            else:
+                c_rgb, c_depth, c_gt = self.load_frame(cp, self.channels_for_counterpart_frame, rng=rng)
+                sample[f"search_{i}"] = c_rgb
+                sample[f"search_{i}_depth"] = c_depth
+                sample[f"search_{i}_gt"] = c_gt
         return sample
 
     def next_batch(self, batch_index=None):

@@ -1,0 +1,310 @@
+"""Resident evaluation engine: weights + compiled executables shared across
+sweeps.
+
+The reference's sweep practice is one ``test.py`` process per subset — every
+run re-imports the checkpoint, re-builds the model, and re-pays compilation
+(``/root/reference/test.py:168-238``). :class:`EvalSession` is the serving
+shape of the same pipeline: the model is built once, the weight tree stays
+device-resident, and the jitted multi-reference forward is reused across
+every dataset/subset evaluated by the process (same-geometry datasets hit
+the already-compiled executable; a new geometry retraces once). ``test.py``
+runs one dataset through it; ``serve.py`` iterates whole sweeps.
+
+The per-frame loop preserves the reference eval contract exactly: R-averaged
+sigmoid masks (``test.py:287-305``), resize to ``output_WH``, masks×255
+uint8, bitwise soft-IoU + F-measure per frame, per-sequence mask PNGs, and
+the reference's log-line format.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class EvalSession:
+    """Model + device-resident weights + jit cache, reusable across datasets."""
+
+    def __init__(self, full_name: str, coattention_backend: str = "pallas",
+                 dtype: str = "float32", pretrained: Optional[str] = None,
+                 data_parallel: bool = False, device_indices=None):
+        import jax
+        import jax.numpy as jnp
+
+        from cosnet_tpu.models import create_model, init_variables, model_input_signature
+        from cosnet_tpu.utils.device import device_materialize
+        from cosnet_tpu.utils.torch_import import (
+            load_pth, merge_variables, state_dict_to_variables,
+        )
+
+        self.full_name = full_name
+        self.model = create_model(full_name, coattention_backend=coattention_backend,
+                                  dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        # In bf16 mode the model's first conv casts its f32 inputs to bf16 on
+        # device anyway; casting on the HOST instead is bit-identical (same
+        # round-to-nearest-even) and HALVES the H2D bytes — the eval loop is
+        # transfer-bound through the tunneled relay (~35-40 MB/s measured;
+        # a 480x854 batch-8 input set is 105 MB as f32).
+        self.stage_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+        self.n_inputs = model_input_signature(full_name)
+        variables = init_variables(self.model, self.n_inputs)
+        self.pretrained_loaded = bool(pretrained and os.path.isfile(pretrained))
+        if self.pretrained_loaded:
+            sd = load_pth(pretrained)
+            imported = state_dict_to_variables(sd["model"] if "model" in sd else sd)
+            variables = {
+                "params": merge_variables(variables["params"], imported["params"]),
+                "batch_stats": merge_variables(variables["batch_stats"], imported["batch_stats"]),
+            }
+        variables = device_materialize(jax.tree.map(jnp.asarray, variables))
+
+        self.mesh = None
+        if data_parallel:
+            from cosnet_tpu.parallel import data_parallel_mesh
+            from cosnet_tpu.parallel.mesh import replicate
+
+            self.mesh = data_parallel_mesh(device_indices)
+            # Pin the weights' mesh placement once — relying on jit
+            # auto-resharding would re-transfer the tree per call.
+            variables = replicate(variables, self.mesh)
+        self.variables = variables
+        self._forwards = {}  # as_uint8 -> jitted multi-ref forward (reused per sweep)
+
+    def forward_fn(self, as_uint8: bool):
+        from cosnet_tpu.eval.infer import build_multi_reference_forward
+
+        if as_uint8 not in self._forwards:
+            self._forwards[as_uint8] = build_multi_reference_forward(
+                self.model, self.n_inputs, as_uint8=as_uint8)
+        return self._forwards[as_uint8]
+
+    def forward_fn_raw(self, as_uint8: bool, out_hw, meanval):
+        from cosnet_tpu.eval.infer import build_multi_reference_forward_raw
+
+        key = ("raw", as_uint8, tuple(out_hw), tuple(np.asarray(meanval).tolist()))
+        if key not in self._forwards:
+            self._forwards[key] = build_multi_reference_forward_raw(
+                self.model, self.n_inputs, out_hw, meanval, as_uint8=as_uint8,
+                stage_dtype=self.stage_dtype)
+        return self._forwards[key]
+
+    def summary(self) -> str:
+        from cosnet_tpu.utils.summary import model_summary
+
+        return model_summary(self.variables)
+
+    # -- the reference eval loop (test.py:278-344) --------------------------
+
+    def run(self, db_test, ds_cfg, logger, *, batch_size: int = 1,
+            shuffle: bool = False, apply_crf: bool = False,
+            output_img_dir: Optional[str] = None, no_prefetch: bool = False,
+            print_progress: bool = True) -> dict:
+        """Evaluate one dataset; returns aggregate metrics. ``logger`` gets
+        the reference-format per-frame and summary lines."""
+        import cv2
+        import jax
+
+        from cosnet_tpu.data import BatchLoader
+        from cosnet_tpu.data.pipeline import device_prefetch
+        from cosnet_tpu.eval.metrics import compute_iou, f_measure
+
+        sample_range = ds_cfg.sample_range
+        # When output_WH matches the model input size (all reference configs),
+        # the float resize is a no-op and the uint8 conversion runs on-device.
+        uint8_on_device = tuple(ds_cfg.output_WH) == (
+            ds_cfg.image_HW_4_model[1], ds_cfg.image_HW_4_model[0])
+        raw = bool(getattr(db_test, "raw_eval", False))
+        if raw:
+            forward = self.forward_fn_raw(uint8_on_device, ds_cfg.image_HW_4_model,
+                                          db_test.meanval)
+        else:
+            forward = self.forward_fn(uint8_on_device)
+        if apply_crf:
+            from cosnet_tpu.eval.crf import refine_mask_u8
+
+        mesh, variables = self.mesh, self.variables
+        testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=shuffle,
+                                 drop_last=False)
+
+        def stage(batch):
+            """Stack the N reference frames + start async H2D transfer for one
+            batch; runs ahead of the compute loop inside the prefetcher so
+            input staging overlaps the previous batch's device time."""
+            searches = np.stack([batch[f"search_{i}"] for i in range(sample_range)], axis=1)
+            search_depths = np.stack([batch[f"search_{i}_depth"] for i in range(sample_range)], axis=1)
+            dev_batch = {"target": batch["target"], "searches": searches,
+                         "target_depth": batch["target_depth"], "search_depths": search_depths}
+            if raw:  # uint8 on the wire + true crop sizes (device preprocess)
+                dev_batch["target_hw"] = np.asarray(batch["target_hw"])
+                dev_batch["search_hws"] = np.stack(
+                    [batch[f"search_{i}_hw"] for i in range(sample_range)], axis=1)
+            elif self.stage_dtype is not None:  # bf16 on the wire (see __init__)
+                dev_batch = {k: np.asarray(v).astype(self.stage_dtype) for k, v in dev_batch.items()}
+            n_real = batch["target"].shape[0]
+            if mesh is not None:
+                from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
+
+                dev_batch, n_real = pad_batch_to_multiple(dev_batch, mesh.devices.size)
+                with mesh:
+                    dev_batch = shard_batch(dev_batch, mesh)
+            else:
+                dev_batch = {k: jax.device_put(v) for k, v in dev_batch.items()}
+            return batch, dev_batch, n_real
+
+        staged = map(stage, iter(testloader)) if no_prefetch \
+            else device_prefetch(iter(testloader), put=stage)
+
+        iou_result, f_result, iou_counter = 0.0, 0.0, 0
+        per_challenge = {}  # challenge -> (iou sum, F sum, frames)
+        frames_done, t_start = 0, time.time()
+        latencies = []
+        warm_t = warm_frames = None  # set after batch 0 (compile + weight upload)
+        for index, (batch, dev_batch, n_real) in enumerate(staged):
+            if print_progress:
+                print("%d processd" % index)
+            b = batch["target"].shape[0]
+            t0 = time.time()
+            if raw:
+                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
+                               dev_batch["target_depth"], dev_batch["search_depths"],
+                               dev_batch["target_hw"], dev_batch["search_hws"])
+            else:
+                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
+                               dev_batch["target_depth"], dev_batch["search_depths"])
+            mask = np.asarray(mask)[:n_real]
+            latencies.append((time.time() - t0) / b)
+            frames_done += b
+            if index == 0:
+                warm_t, warm_frames = time.time(), frames_done
+
+            for idx in range(b):
+                if uint8_on_device:
+                    mask_u8 = mask[idx, :, :, 0]
+                else:
+                    img = cv2.resize(mask[idx, :, :, 0], tuple(ds_cfg.output_WH))
+                    mask_u8 = (img * 255).astype(np.uint8)
+                if apply_crf:
+                    guide = np.asarray(batch["target"][idx])
+                    if raw:  # padded source u8: use the true crop region
+                        th, tw = np.asarray(batch["target_hw"][idx])
+                        guide = guide[:th, :tw].astype(np.float32)
+                    # model-res (or resized-crop) intensities; constant
+                    # offsets like the BGR mean cancel in the CRF's color
+                    # kernel, so mean-subtracted and raw guides are equivalent
+                    if guide.shape[:2] != mask_u8.shape:
+                        guide = cv2.resize(guide, (mask_u8.shape[1], mask_u8.shape[0]))
+                    mask_u8 = refine_mask_u8(mask_u8, guide)
+                gt = np.array(batch["target_gt"][idx])
+                if gt.shape != mask_u8.shape:
+                    # Reference configs keep output_WH == model input size; if
+                    # a config diverges, score at output resolution.
+                    gt = cv2.resize(gt, tuple(ds_cfg.output_WH), interpolation=cv2.INTER_NEAREST)
+                iou = compute_iou(mask_u8, gt)
+                fm = f_measure(mask_u8, gt)
+                seq, fid = batch["seq_name"][idx], batch["frame_index"][idx]
+                logger.iou_line(seq, fid, iou)
+                logger.write(f"{seq} {fid} F-measure: {fm}\n")
+                iou_result += iou
+                f_result += fm
+                iou_counter += 1
+                # SBM-RGBD seq names are "<challenge>/<seq>"; aggregate per
+                # challenge so one run reports the full per-subset sweep table
+                # (BASELINE.md's north-star eval; other datasets fall into one
+                # bucket named after the sequence prefix).
+                chal = seq.split("/")[0] if "/" in seq else seq
+                c_iou, c_f, c_n = per_challenge.get(chal, (0.0, 0.0, 0))
+                per_challenge[chal] = (c_iou + iou, c_f + fm, c_n + 1)
+                if output_img_dir:
+                    save_dir = os.path.join(output_img_dir, seq)
+                    os.makedirs(save_dir, exist_ok=True)
+                    # Grayscale PNG per frame (reference contract,
+                    # test.py:332-340) via cv2 at zlib level 1 — ~4x faster
+                    # than PIL's default level 6; still a lossless PNG.
+                    cv2.imwrite(os.path.join(save_dir, f"{fid}.png"), mask_u8,
+                                [cv2.IMWRITE_PNG_COMPRESSION, 1])
+
+        result = {"frames": frames_done, "iou": None, "f_measure": None,
+                  "per_challenge": {}, "fps": None, "steady_fps": None, "p50_ms": None}
+        if iou_counter:
+            if len(per_challenge) > 1:
+                for chal in sorted(per_challenge):
+                    c_iou, c_f, c_n = per_challenge[chal]
+                    logger.write(f"##== subset {chal}: IOU: {c_iou / c_n} "
+                                 f"F-measure: {c_f / c_n} frames: {c_n} ==##\n")
+            logger.final_iou(iou_result / iou_counter)
+            logger.write(f"final F-measure: {f_result / iou_counter}\n")
+            elapsed = time.time() - t_start
+            logger.write(
+                f"frames: {frames_done}  frames/sec: {frames_done / elapsed:.3f}  "
+                f"p50 latency: {np.percentile(latencies, 50) * 1e3:.1f} ms\n"
+            )
+            result.update(
+                iou=iou_result / iou_counter, f_measure=f_result / iou_counter,
+                per_challenge={c: {"iou": v[0] / v[2], "f_measure": v[1] / v[2], "frames": v[2]}
+                               for c, v in per_challenge.items()},
+                fps=frames_done / elapsed,
+                p50_ms=float(np.percentile(latencies, 50) * 1e3),
+            )
+            if warm_t is not None and frames_done > warm_frames:
+                # Batch 0 pays one-time costs (jit compile / compile-cache
+                # load + the full weight-tree upload); steady-state excludes
+                # it — the long-run throughput of a production sweep.
+                steady = (frames_done - warm_frames) / (time.time() - warm_t)
+                logger.write(
+                    f"steady-state frames/sec: {steady:.3f}  "
+                    f"p50 latency: {np.percentile(latencies[1:], 50) * 1e3:.1f} ms  "
+                    f"(excluding first batch: compile + weight upload)\n"
+                )
+                result["steady_fps"] = steady
+            if print_progress:
+                print("final IOU:", iou_result / iou_counter, " F:", f_result / iou_counter)
+        return result
+
+
+def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
+                       davis_subset_file: Optional[str] = None,
+                       decode_cache_mb: Optional[float] = None,
+                       raw_eval: bool = False):
+    """Dataset for an eval run (test.py:253-255 channel selection rules)."""
+    from cosnet_tpu.data import HzfuRgbdDataset, SbmRgbdDataset
+
+    channels_target, channels_cp = "rgbdt", "rgbd"
+    if dataset == "hzfud":
+        channels_target, channels_cp = "dt", "d"
+    elif dataset == "hzfurgb":
+        channels_target, channels_cp = "rgbt", "rgb"
+
+    common = dict(
+        sample_range=ds_cfg.sample_range,
+        output_HW=ds_cfg.image_HW_4_model,
+        channels_for_target_frame=channels_target,
+        channels_for_counterpart_frame=channels_cp,
+        for_training=False,
+        batch_size=batch_size,
+        subset_percentage=1,
+        subset=ds_cfg.subset,
+        decode_cache_mb=decode_cache_mb,
+    )
+    if raw_eval and dataset != "sbmrgbd":
+        # HZFU depth is a float .mat (not losslessly u8-shippable); DAVIS
+        # support would be rgb-only. Scope: the north-star sbmrgbd sweep.
+        raise SystemExit(f"--device-preprocess supports sbmrgbd only (got {dataset})")
+    if dataset == "sbmrgbd":
+        return SbmRgbdDataset(ds_cfg.data_path, raw_eval=raw_eval, **common)
+    if dataset in ("hzfud", "hzfurgb", "hzfurgbd"):
+        return HzfuRgbdDataset(ds_cfg.data_path, **common)
+    if dataset == "davis":
+        from cosnet_tpu.data.davis import DavisDataset
+
+        return DavisDataset(
+            ds_cfg.data_path,
+            sample_range=ds_cfg.sample_range,
+            output_HW=ds_cfg.image_HW_4_model,
+            for_training=False,
+            batch_size=batch_size,
+            subset_file=davis_subset_file,
+            decode_cache_mb=decode_cache_mb,
+        )
+    raise SystemExit("dataset error")

@@ -128,7 +128,10 @@ def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0, on_cpu: boo
 
     if on_cpu:
         try:
-            with jax.default_device(jax.devices("cpu")[0]):
+            # local_devices, not devices: in a multi-process run the global
+            # list starts with process 0's devices — non-addressable from
+            # other processes (placing init there segfaults process 1+).
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
                 return do_init()
         except RuntimeError:
             pass

@@ -55,7 +55,13 @@ def disable_context_parallel():
 
 
 def coattention_cp(va, vb, kernel, variant: str = "ring"):
-    """Dispatch used by nn.coattention for backend 'ring' / 'ulysses'."""
+    """Dispatch used by nn.coattention for backend 'ring' / 'ulysses'.
+
+    Constraint: ``va.shape == vb.shape``. The ring rotates equal-size token
+    chunks, so both feature maps must carry the same token count — true at
+    every call site in the model family (the siamese branches share one
+    spatial geometry, ``rgbd_segmentation_RAA.py:153-155``); ragged pairs
+    would need per-direction chunk grids and are not supported."""
     if _CP_CONTEXT is None:
         raise RuntimeError(
             "context-parallel co-attention requested but enable_context_parallel() "

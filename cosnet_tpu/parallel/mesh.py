@@ -127,9 +127,24 @@ def shard_batch(batch: dict, mesh: Mesh, spec: Optional[P] = None) -> dict:
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (params / train state) over the mesh."""
+    """Fully replicate a pytree (params / train state) over the mesh.
+
+    Python-scalar leaves (e.g. the LR-group multiplier tree) are converted
+    to typed numpy scalars first: in a multi-process run jax cross-checks
+    every ``device_put`` value across processes, and a python float that is
+    not f32-representable (0.01, ...) fails that check spuriously — the
+    gathered copy round-trips through f32 while the local value stays f64.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if isinstance(x, float):
+            x = np.float32(x)
+        elif isinstance(x, int):
+            x = np.int32(x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int):

@@ -26,16 +26,25 @@ from cosnet_tpu.utils.torch_import import (
 )
 
 
-def save_epoch(snapshot_dir: str, dataset: str, epoch: int, state, pth: bool = True):
-    """Write both the orbax checkpoint and the reference-contract .pth."""
+def save_epoch(snapshot_dir: str, dataset: str, epoch: int, state,
+               pth: bool = True, orbax: bool = True):
+    """Write both the orbax checkpoint and the reference-contract .pth.
+
+    ``orbax=False``: multi-process runs snapshot via the .pth contract from
+    process 0 only — ``StandardCheckpointer.save`` runs its own
+    cross-process barrier internally, which deadlocks against a
+    process-0-only call site (the .pth path is pure numpy and barrier-free).
+    The momentum-less .pth matches the reference's resume semantics anyway
+    (``train.py:501-508`` restores weights + epoch, not optimizer state)."""
     host_state = jax.tree.map(np.asarray, {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "momentum": state.momentum,
     })
-    ckpt_path = os.path.abspath(os.path.join(snapshot_dir, f"orbax_{dataset}_{epoch}"))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(ckpt_path, {"state": host_state, "epoch": np.asarray(epoch + 1)})
+    if orbax:
+        ckpt_path = os.path.abspath(os.path.join(snapshot_dir, f"orbax_{dataset}_{epoch}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(ckpt_path, {"state": host_state, "epoch": np.asarray(epoch + 1)})
     if pth:
         # Same filename pattern as the reference: snapshot_<ds>_<epoch>.pth
         save_pth(

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Real 2-process ``jax.distributed`` execution of ``train.py --multihost``.
+
+Everything multi-host before round 3 was single-process (dryruns forcing
+``replica_axis_size``); this actually spawns TWO OS processes on this host —
+each a CPU backend with 4 virtual devices — that join one coordinator via
+``initialize_distributed``'s explicit-triple branch (``parallel/mesh.py``),
+build the hierarchical ('replica', 'data') = (2, 4) mesh, shard disjoint
+per-process batch slices (``BatchLoader.process_shard``), and train for one
+epoch. The per-step loss sequence must match a single-process 8-device run
+of the same seed — the scale-out replaces ``/root/reference/train.py:489-496``
+(single-process DataParallel, the reference's ceiling).
+
+Usage: python scripts/run_multiprocess.py [--steps 2] [--out MULTIPROC_r03.json]
+Exit code 0 + one JSON line on success.
+"""
+import argparse
+import json
+import os
+import re
+import shutil
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_tree(root: str, frames: int = 16):
+    """Tiny SBM-RGBD-shaped tree: 1 sequence, ``frames`` frames."""
+    import cv2
+
+    if os.path.exists(os.path.join(root, ".done")):
+        return
+    rng = np.random.default_rng(0)
+    h, w = 120, 160
+    seq = os.path.join(root, "Bootstrapping", "seq0")
+    for sub in ("input", "depth", "groundtruth"):
+        os.makedirs(os.path.join(seq, sub), exist_ok=True)
+    roi = np.zeros((h, w), np.uint8)
+    roi[4:116, 6:154] = 255
+    cv2.imwrite(os.path.join(seq, "ROI.bmp"), roi)
+    for i in range(1, frames + 1):
+        fid = f"{i:06d}"
+        cv2.imwrite(os.path.join(seq, "input", f"in{fid}.png"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        cv2.imwrite(os.path.join(seq, "depth", f"d{fid}.png"),
+                    rng.integers(0, 255, (h, w), dtype=np.uint8))
+        gt = np.zeros((h, w), np.uint8)
+        gt[30:80, 50:120] = 255
+        cv2.imwrite(os.path.join(seq, "groundtruth", f"gt{fid}.png"), gt)
+    open(os.path.join(root, ".done"), "w").close()
+
+
+def write_config(workdir: str, tree: str, batch: int, steps: int):
+    import yaml
+
+    with open(os.path.join(REPO, "config.yaml")) as f:
+        config = yaml.safe_load(f)
+    t = config["train"]["dataset"]["sbmrgbd"]
+    t["data_path"] = tree
+    t["batch_size"] = batch
+    t["max_epoches"] = 1
+    t["output_HW"] = "64,96"  # small geometry: full R101 model on 1-core CPU
+    t["subset"] = None
+    t["checkpoint_file"] = False
+    with open(os.path.join(workdir, "config.yaml"), "w") as f:
+        yaml.safe_dump(config, f)
+
+
+def env_for(n_local_devices: int):
+    existing = os.environ.get("PYTHONPATH", "")
+    # Device forcing goes through COSNET_CPU_DEVICES (train.py applies it
+    # in-process): the ambient sitecustomize rewrites env XLA_FLAGS during
+    # interpreter startup, so passing the XLA flag via env is silently lost.
+    env = dict(
+        os.environ,
+        PYTHONPATH=f"{REPO}:{existing}" if existing else REPO,
+        JAX_PLATFORMS="cpu",
+        COSNET_CPU_DEVICES=str(n_local_devices),
+    )
+    return env
+
+
+def parse_losses(text: str):
+    return [float(m) for m in re.findall(r"Loss: ([\d.eE+-]+) ", text + " ")]
+
+
+def train_cmd(extra):
+    return [sys.executable, os.path.join(REPO, "train.py"), "--dataset", "sbmrgbd",
+            "--model", "raa", "--random-seed", "7", "--no-prefetch"] + extra
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--timeout", type=int, default=5400)
+    ap.add_argument("--out", default=os.path.join(REPO, "MULTIPROC_r03.json"))
+    args = ap.parse_args()
+
+    tree = "/tmp/cosnet_multiproc_tree"
+    build_tree(tree, args.frames)
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    results = {}
+    for mode in ("2proc", "1proc"):
+        workdir = tempfile.mkdtemp(prefix=f"cosnet_mp_{mode}_")
+        write_config(workdir, tree, args.batch, steps=args.frames // args.batch)
+        if mode == "2proc":
+            procs = []
+            for pid in (0, 1):
+                cmd = train_cmd(["--multihost",
+                                 "--coordinator-address", f"localhost:{port}",
+                                 "--num-processes", "2", "--process-id", str(pid)])
+                procs.append(subprocess.Popen(
+                    cmd, cwd=workdir, env=env_for(4),
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+            outs = []
+            for p in procs:
+                try:
+                    out, _ = p.communicate(timeout=args.timeout)
+                except subprocess.TimeoutExpired:
+                    for q in procs:
+                        q.kill()
+                    sys.exit(f"{mode}: timeout after {args.timeout}s")
+                outs.append(out)
+            if any(p.returncode != 0 for p in procs):
+                for qid, o in enumerate(outs):  # the root cause may be in EITHER log
+                    sys.stderr.write(f"--- process {qid} output ---\n{o[-4000:]}\n")
+                sys.exit(f"{mode}: exit codes {[p.returncode for p in procs]}")
+            losses = [parse_losses(o) for o in outs]
+            if losses[0] != losses[1]:
+                sys.exit(f"2proc: processes disagree on the loss sequence: {losses}")
+            results[mode] = {"losses": losses[0], "stdout_tail": outs[0][-600:]}
+        else:
+            cmd = train_cmd(["--multihost"])  # no coordinator: 1 process, (1,8) mesh
+            p = subprocess.run(cmd, cwd=workdir, env=env_for(8),
+                               capture_output=True, text=True, timeout=args.timeout)
+            if p.returncode != 0:
+                sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
+                sys.exit(f"{mode}: exited {p.returncode}")
+            results[mode] = {"losses": parse_losses(p.stdout)}
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    l2, l1 = results["2proc"]["losses"], results["1proc"]["losses"]
+    if not l2 or len(l2) != len(l1):
+        sys.exit(f"loss sequences unusable: 2proc={l2} 1proc={l1}")
+    # (2,4) hierarchical vs (1,8) flat mesh: same global batch, reduction
+    # order may differ at float32 ulp scale.
+    close = bool(np.allclose(l2, l1, rtol=1e-5, atol=1e-7))
+    report = {
+        "ok": close,
+        "processes": 2,
+        "local_devices_per_process": 4,
+        "mesh": "('replica', 'data') = (2, 4)",
+        "steps": len(l2),
+        "loss_2proc": l2,
+        "loss_1proc_8dev": l1,
+        "max_rel_diff": float(np.max(np.abs(np.array(l2) - np.array(l1))
+                                     / np.maximum(np.abs(l1), 1e-12))) if l2 else None,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    if not close:
+        sys.exit("loss sequences differ beyond tolerance")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Sweep server: one process, weights resident, compiled once — every
+subset/dataset evaluated without re-initialization.
+
+The reference's sweep practice re-runs ``test.py`` per subset, paying model
+build + checkpoint load + (for us) compilation every time
+(``/root/reference/test.py:168-238``). This driver is the production shape
+(ROADMAP #4): an :class:`EvalSession` holds the device-resident weight tree
+and the jitted multi-reference forward; jobs stream through it back-to-back.
+Same-geometry jobs reuse the compiled executable outright — job 2..N start
+at steady-state throughput.
+
+    python serve.py --datasets sbmrgbd --per-challenge --batch_size 8 \
+        [--dtype bfloat16] [--data-parallel] [--out sweep.json]
+
+``--per-challenge`` splits the sbmrgbd config subset into one job per
+challenge (the reference's per-subset runs); without it each dataset is one
+job (test.py already reports the per-challenge table within a run).
+"""
+import argparse
+import datetime
+import json
+import os
+import time
+
+
+def get_arguments():
+    p = argparse.ArgumentParser(description="RGBDCoAttention sweep server (TPU)")
+    p.add_argument("--datasets", default="sbmrgbd",
+                   help="comma-separated: sbmrgbd,hzfurgbd,hzfurgb,hzfud,davis")
+    p.add_argument("--model", default="raa")
+    p.add_argument("--gpus", type=str, default="0")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--coattention-backend", default="pallas")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard each job's eval batch over all TPU chips.")
+    p.add_argument("--per-challenge", action="store_true",
+                   help="One job per challenge of the sbmrgbd subset "
+                        "(the reference's per-subset sweep, served resident).")
+    p.add_argument("--use_crf", default="")
+    p.add_argument("--save_seg_img", default="")
+    p.add_argument("--shuffle", action="store_true",
+                   help="Sweeps default to deterministic order (unlike test.py, "
+                        "which preserves the reference's shuffle quirk).")
+    p.add_argument("--out", default="", help="Write the sweep summary JSON here.")
+    return p.parse_args()
+
+
+def main():
+    args = get_arguments()
+    ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    from cosnet_tpu import config as cfg
+    from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
+    from cosnet_tpu.utils.logging import RunLogger
+
+    user_config = cfg.load_yaml("config.yaml")
+    full_name = cfg.full_model_name(args.model)
+    result_dir = os.path.join(".", "vos_test_results", "sweep", full_name, ymd_hms)
+    os.makedirs(result_dir, exist_ok=True)
+    logger = RunLogger(os.path.join(result_dir, f"sweep__{full_name}_{ymd_hms}_log.txt"))
+    print("Sweep logs in", result_dir)
+    logger.section(str(vars(args)))
+
+    pretrained = cfg.test_pretrained_params(user_config, full_name)
+    t_init = time.time()
+    session = EvalSession(
+        full_name, coattention_backend=args.coattention_backend, dtype=args.dtype,
+        pretrained=pretrained, data_parallel=args.data_parallel,
+        device_indices=cfg.resolve_device_request(args.gpus),
+    )
+    init_s = time.time() - t_init
+    if not session.pretrained_loaded:
+        print(f"!! pretrained params not found at {pretrained!r} — serving fresh init")
+    if session.mesh is not None:
+        print(f"=====> data-parallel over {session.mesh.devices.size} chip(s)")
+
+    # -- job list -----------------------------------------------------------
+    jobs = []  # (job name, dataset name, ds_cfg)
+    for dataset in args.datasets.split(","):
+        dataset = dataset.strip()
+        if not dataset:
+            continue
+        ds_cfg = cfg.TestDatasetConfig.from_config(user_config, dataset)
+        if args.per_challenge and ds_cfg.subset:
+            by_challenge = {}
+            for seq, ids in ds_cfg.subset.items():
+                by_challenge.setdefault(seq.split("/")[0], {})[seq] = ids
+            for chal in sorted(by_challenge):
+                import dataclasses
+
+                jobs.append((f"{dataset}/{chal}", dataset,
+                             dataclasses.replace(ds_cfg, subset=by_challenge[chal])))
+        else:
+            jobs.append((dataset, dataset, ds_cfg))
+
+    apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
+    summary = {"model": full_name, "dtype": args.dtype, "init_s": round(init_s, 2),
+               "data_parallel": bool(session.mesh is not None), "jobs": {}}
+    for name, dataset, ds_cfg in jobs:
+        print(f"=====> job {name}: {len(ds_cfg.subset or {})} sequences"
+              if ds_cfg.subset else f"=====> job {name}")
+        logger.section(f"job {name}")
+        db = build_test_dataset(dataset, ds_cfg, args.batch_size)
+        out_dir = None
+        if args.save_seg_img:
+            out_dir = os.path.join(result_dir, "obj_seg_imgs", name.replace("/", "_"))
+        t0 = time.time()
+        res = session.run(
+            db, ds_cfg, logger,
+            batch_size=args.batch_size,
+            shuffle=args.shuffle,
+            apply_crf=apply_crf,
+            output_img_dir=out_dir,
+            print_progress=False,
+        )
+        res["wall_s"] = round(time.time() - t0, 2)
+        summary["jobs"][name] = res
+        iou = res["iou"]
+        print(f"       {name}: frames={res['frames']} IoU={iou if iou is None else round(iou, 4)} "
+              f"F={res['f_measure'] if res['f_measure'] is None else round(res['f_measure'], 4)} "
+              f"fps={res['fps'] if res['fps'] is None else round(res['fps'], 2)} "
+              f"({res['wall_s']} s)")
+
+    scored = [j for j in summary["jobs"].values() if j["iou"] is not None]
+    if scored:
+        n = sum(j["frames"] for j in scored)
+        summary["mean_iou"] = sum(j["iou"] * j["frames"] for j in scored) / n
+        summary["mean_f_measure"] = sum(j["f_measure"] * j["frames"] for j in scored) / n
+        summary["total_frames"] = n
+        logger.write(f"##== sweep: {len(scored)} jobs, {n} frames, "
+                     f"IOU: {summary['mean_iou']} F-measure: {summary['mean_f_measure']} ==##\n")
+        print(f"=====> sweep IoU {summary['mean_iou']:.4f}  F {summary['mean_f_measure']:.4f} "
+              f"over {n} frames in {len(scored)} jobs")
+    logger.close()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print("summary written to", args.out)
+
+
+if __name__ == "__main__":
+    main()

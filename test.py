@@ -10,14 +10,12 @@ masks over ``sample_range`` reference frames — here batched into ONE jitted
 forward (cosnet_tpu/eval/infer.py) instead of a host loop — → resize to
 ``output_WH`` → masks×255 uint8 → bitwise soft-IoU per frame (+ F-measure,
 BASELINE.md) → per-sequence mask PNGs → final mean IoU, all in the
-reference's log format.
+reference's log format. The model/weights/eval loop live in
+cosnet_tpu/eval/runner.py (shared with the sweep server ``serve.py``).
 """
 import argparse
 import datetime
 import os
-import time
-
-import numpy as np
 
 
 def get_arguments():
@@ -59,6 +57,13 @@ def get_arguments():
                              "for reproducible sweeps.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
+    parser.add_argument("--device-preprocess", action="store_true",
+                        help="Ship ROI-cropped SOURCE frames as uint8 and run the "
+                             "resize + mean subtraction on device inside the jitted "
+                             "forward (~10x fewer H2D bytes — the eval loop is "
+                             "transfer-bound through the tunneled relay). cv2-exact "
+                             "sample positions; masks gated bit-level by "
+                             "tests/test_device_preprocess.py. sbmrgbd only.")
     return parser.parse_args()
 
 
@@ -66,23 +71,13 @@ def main():
     args = get_arguments()
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
 
-    import cv2
-    import jax
-    import jax.numpy as jnp
-    from PIL import Image
-
     from cosnet_tpu import config as cfg
-    from cosnet_tpu.data import BatchLoader, HzfuRgbdDataset, SbmRgbdDataset
-    from cosnet_tpu.eval.infer import build_multi_reference_forward
-    from cosnet_tpu.eval.metrics import compute_iou, f_measure
-    from cosnet_tpu.models import create_model, init_variables, model_input_signature
+    from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
     from cosnet_tpu.utils.logging import RunLogger
-    from cosnet_tpu.utils.torch_import import (
-        load_pth, merge_variables, state_dict_to_variables,
-    )
 
     user_config = cfg.load_yaml("config.yaml")
     full_name = cfg.full_model_name(args.model)
+    davis_subset_file = None
     if args.dataset == "davis":
         # The reference's davis eval path is broken (missing module,
         # test.py:28); re-derived with its hardcoded 480x854 eval geometry
@@ -100,7 +95,6 @@ def main():
     else:
         ds_cfg = cfg.TestDatasetConfig.from_config(user_config, args.dataset)
     batch_size = args.batch_size or 1
-    sample_range = ds_cfg.sample_range  # config wins, as in reference test.py:132
 
     result_dir = os.path.join(".", "vos_test_results", args.dataset, full_name, ymd_hms)
     os.makedirs(result_dir, exist_ok=True)
@@ -108,7 +102,6 @@ def main():
     print("Logs will be written in", result_dir)
     logger.section(str(vars(args)))
 
-    pretrained = cfg.test_pretrained_params(user_config, full_name)
     coattention_backend = args.coattention_backend
     if args.context_parallel:
         if args.data_parallel:
@@ -121,67 +114,25 @@ def main():
         enable_context_parallel(cp_mesh, "data", chunk_backend=args.coattention_backend)
         coattention_backend = args.context_parallel
         print(f"=====> context-parallel ({args.context_parallel}) over {cp_mesh.devices.size} chip(s)")
-    model = create_model(full_name, coattention_backend=coattention_backend,
-                         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
-    n_inputs = model_input_signature(full_name)
-    variables = init_variables(model, n_inputs)
-    if pretrained and os.path.isfile(pretrained):
-        sd = load_pth(pretrained)
-        imported = state_dict_to_variables(sd["model"] if "model" in sd else sd)
-        variables = {
-            "params": merge_variables(variables["params"], imported["params"]),
-            "batch_stats": merge_variables(variables["batch_stats"], imported["batch_stats"]),
-        }
-    else:
-        print(f"!! pretrained params not found at {pretrained!r} — evaluating fresh init")
-    from cosnet_tpu.utils.summary import model_summary
 
-    print(model_summary(variables))  # reference prints a model summary (test.py:231-236)
-    from cosnet_tpu.utils.device import device_materialize
-
-    variables = device_materialize(jax.tree.map(jnp.asarray, variables))
-
-    channels_target = "rgbdt"
-    channels_cp = "rgbd"
-    if args.dataset == "hzfud":
-        channels_target, channels_cp = "dt", "d"
-    elif args.dataset == "hzfurgb":
-        channels_target, channels_cp = "rgbt", "rgb"
-
-    common = dict(
-        sample_range=sample_range,
-        output_HW=ds_cfg.image_HW_4_model,
-        channels_for_target_frame=channels_target,
-        channels_for_counterpart_frame=channels_cp,
-        for_training=False,
-        batch_size=batch_size,
-        subset_percentage=1,
-        subset=ds_cfg.subset,
+    pretrained = cfg.test_pretrained_params(user_config, full_name)
+    session = EvalSession(
+        full_name, coattention_backend=coattention_backend, dtype=args.dtype,
+        pretrained=pretrained, data_parallel=args.data_parallel,
+        device_indices=cfg.resolve_device_request(args.gpus),
     )
-    if args.dataset == "sbmrgbd":
-        db_test = SbmRgbdDataset(ds_cfg.data_path, **common)
-    elif args.dataset in ("hzfud", "hzfurgb", "hzfurgbd"):
-        db_test = HzfuRgbdDataset(ds_cfg.data_path, **common)
-    elif args.dataset == "davis":
-        from cosnet_tpu.data.davis import DavisDataset
+    if not session.pretrained_loaded:
+        print(f"!! pretrained params not found at {pretrained!r} — evaluating fresh init")
+    print(session.summary())  # reference prints a model summary (test.py:231-236)
+    if session.mesh is not None:
+        print(f"=====> eval sweep data-parallel over {session.mesh.devices.size} chip(s)")
 
-        db_test = DavisDataset(
-            ds_cfg.data_path,
-            sample_range=ds_cfg.sample_range,
-            output_HW=ds_cfg.image_HW_4_model,
-            for_training=False,
-            batch_size=batch_size,
-            subset_file=davis_subset_file,
-        )
-    else:
-        raise SystemExit("dataset error")
-
-    testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=not args.no_shuffle, drop_last=False)
-    print("======> test set size:", len(testloader))
+    db_test = build_test_dataset(args.dataset, ds_cfg, batch_size, davis_subset_file,
+                                 raw_eval=args.device_preprocess)
+    print("======> test set size:", len(db_test) // batch_size)
 
     apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
     if apply_crf:
-        from cosnet_tpu.eval.crf import refine_mask_u8
         print("=====> dense-CRF refinement on (mean-field, on-device)")
 
     output_img_dir = None
@@ -189,120 +140,14 @@ def main():
         output_img_dir = os.path.join(result_dir, "obj_seg_imgs")
         os.makedirs(output_img_dir, exist_ok=True)
 
-    # When output_WH matches the model input size (all reference configs),
-    # the float resize is a no-op and the uint8 conversion runs on-device.
-    uint8_on_device = tuple(ds_cfg.output_WH) == (ds_cfg.image_HW_4_model[1], ds_cfg.image_HW_4_model[0])
-    forward = build_multi_reference_forward(model, n_inputs, as_uint8=uint8_on_device)
-
-    mesh = None
-    if args.data_parallel:
-        from cosnet_tpu.parallel import data_parallel_mesh
-        from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
-
-        mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
-        print(f"=====> eval sweep data-parallel over {mesh.devices.size} chip(s)")
-
-    def stage(batch):
-        """Stack the N reference frames + start async H2D transfer for one
-        batch; runs ahead of the compute loop inside the prefetcher so input
-        staging overlaps the previous batch's device time."""
-        searches = np.stack([batch[f"search_{i}"] for i in range(sample_range)], axis=1)
-        search_depths = np.stack([batch[f"search_{i}_depth"] for i in range(sample_range)], axis=1)
-        dev_batch = {"target": batch["target"], "searches": searches,
-                     "target_depth": batch["target_depth"], "search_depths": search_depths}
-        n_real = batch["target"].shape[0]
-        if mesh is not None:
-            from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
-
-            dev_batch, n_real = pad_batch_to_multiple(dev_batch, mesh.devices.size)
-            with mesh:
-                dev_batch = shard_batch(dev_batch, mesh)
-        else:
-            dev_batch = {k: jax.device_put(v) for k, v in dev_batch.items()}
-        return batch, dev_batch, n_real
-
-    from cosnet_tpu.data.pipeline import device_prefetch
-
-    staged = map(stage, iter(testloader)) if args.no_prefetch \
-        else device_prefetch(iter(testloader), put=stage)
-    iou_result, f_result, iou_counter = 0.0, 0.0, 0
-    per_challenge = {}  # challenge -> (iou sum, F sum, frames)
-    frames_done, t_start = 0, time.time()
-    latencies = []
-    warm_t = warm_frames = None  # set after batch 0 (compile + weight upload)
-    for index, (batch, dev_batch, n_real) in enumerate(staged):
-        print("%d processd" % index)
-        b = batch["target"].shape[0]
-        t0 = time.time()
-        mask = forward(variables, dev_batch["target"], dev_batch["searches"],
-                       dev_batch["target_depth"], dev_batch["search_depths"])
-        mask = np.asarray(mask)[:n_real]
-        latencies.append((time.time() - t0) / b)
-        frames_done += b
-        if index == 0:
-            warm_t, warm_frames = time.time(), frames_done
-
-        for idx in range(b):
-            if uint8_on_device:
-                mask_u8 = mask[idx, :, :, 0]
-            else:
-                img = cv2.resize(mask[idx, :, :, 0], tuple(ds_cfg.output_WH))
-                mask_u8 = (img * 255).astype(np.uint8)
-            if apply_crf:
-                guide = np.asarray(batch["target"][idx])  # model-res, mean-subtracted
-                # (constant offsets cancel in the CRF's color kernel)
-                if guide.shape[:2] != mask_u8.shape:
-                    guide = cv2.resize(guide, (mask_u8.shape[1], mask_u8.shape[0]))
-                mask_u8 = refine_mask_u8(mask_u8, guide)
-            gt = np.array(batch["target_gt"][idx])
-            if gt.shape != mask_u8.shape:
-                # Reference configs keep output_WH == model input size; if a
-                # config diverges, score at output resolution.
-                gt = cv2.resize(gt, tuple(ds_cfg.output_WH), interpolation=cv2.INTER_NEAREST)
-            iou = compute_iou(mask_u8, gt)
-            fm = f_measure(mask_u8, gt)
-            seq, fid = batch["seq_name"][idx], batch["frame_index"][idx]
-            logger.iou_line(seq, fid, iou)
-            logger.write(f"{seq} {fid} F-measure: {fm}\n")
-            iou_result += iou
-            f_result += fm
-            iou_counter += 1
-            # SBM-RGBD seq names are "<challenge>/<seq>"; aggregate per
-            # challenge so one run reports the full 7-subset sweep table
-            # (BASELINE.md's north-star eval; other datasets fall into one
-            # bucket named after the sequence prefix).
-            chal = seq.split("/")[0] if "/" in seq else seq
-            c_iou, c_f, c_n = per_challenge.get(chal, (0.0, 0.0, 0))
-            per_challenge[chal] = (c_iou + iou, c_f + fm, c_n + 1)
-            if output_img_dir:
-                save_dir = os.path.join(output_img_dir, seq)
-                os.makedirs(save_dir, exist_ok=True)
-                Image.fromarray(mask_u8, mode="L").save(os.path.join(save_dir, f"{fid}.png"))
-
-    if iou_counter:
-        if len(per_challenge) > 1:
-            for chal in sorted(per_challenge):
-                c_iou, c_f, c_n = per_challenge[chal]
-                logger.write(f"##== subset {chal}: IOU: {c_iou / c_n} "
-                             f"F-measure: {c_f / c_n} frames: {c_n} ==##\n")
-        logger.final_iou(iou_result / iou_counter)
-        logger.write(f"final F-measure: {f_result / iou_counter}\n")
-        elapsed = time.time() - t_start
-        logger.write(
-            f"frames: {frames_done}  frames/sec: {frames_done / elapsed:.3f}  "
-            f"p50 latency: {np.percentile(latencies, 50) * 1e3:.1f} ms\n"
-        )
-        if warm_t is not None and frames_done > warm_frames:
-            # Batch 0 pays one-time costs (jit compile / compile-cache load +
-            # the full weight-tree upload); steady-state excludes it — the
-            # long-run throughput of a production sweep.
-            steady = (frames_done - warm_frames) / (time.time() - warm_t)
-            logger.write(
-                f"steady-state frames/sec: {steady:.3f}  "
-                f"p50 latency: {np.percentile(latencies[1:], 50) * 1e3:.1f} ms  "
-                f"(excluding first batch: compile + weight upload)\n"
-            )
-        print("final IOU:", iou_result / iou_counter, " F:", f_result / iou_counter)
+    session.run(
+        db_test, ds_cfg, logger,
+        batch_size=batch_size,
+        shuffle=not args.no_shuffle,
+        apply_crf=apply_crf,
+        output_img_dir=output_img_dir,
+        no_prefetch=args.no_prefetch,
+    )
     logger.close()
 
 

