@@ -141,6 +141,9 @@ def main():
         # Real multi-host: join the coordinator BEFORE any other jax use so
         # jax.devices() sees the whole pod. Single-process dryruns skip this.
         initialize_distributed(args.coordinator_address, args.num_processes, args.process_id)
+    from cosnet_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from cosnet_tpu.train.checkpoint import find_latest_checkpoint, restore, save_epoch
     from cosnet_tpu.train.optim import GroupedSGD, lr_poly
     from cosnet_tpu.train.state import TrainState, make_train_step
