@@ -98,7 +98,8 @@ def measure_sync_overhead_ms(iters: int = 20) -> float:
     return (time.time() - t0) / iters * 1e3
 
 
-def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str) -> float:
+def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
+                quantize: str = "") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +107,12 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str) -> float:
 
     from cosnet_tpu.models import create_model, init_variables
     from cosnet_tpu.utils.device import device_materialize
+    from cosnet_tpu.nn import quant
 
+    if quantize == "int8":
+        quant.enable_int8(min_in_channels=512)  # measured sweet spot (docs/PERF_r3.md)
+    else:
+        quant.disable_int8()
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = create_model("resnet_aspp_add", coattention_backend=backend, dtype=dtype)
     variables = init_variables(model, n_inputs=4, hw=(64, 64))
@@ -225,6 +231,7 @@ def main():
     parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--skip-f32", action="store_true")
+    parser.add_argument("--skip-int8", action="store_true")
     parser.add_argument("--skip-end-to-end", action="store_true")
     args = parser.parse_args()
 
@@ -254,6 +261,12 @@ def main():
     }
     if not args.skip_f32 and args.dtype != "float32":
         out["f32_fps"] = round(measure_tpu(args.iters, args.batch, args.backend, "float32"), 4)
+    if not args.skip_int8:
+        # int8 MXU path on the wide convs (test.py --quantize int8): device
+        # step 192.8 -> 165.0 ms xplane (docs/PERF_r3.md); mask-agreement
+        # gated by tests/test_quant.py.
+        out["int8_fps"] = round(
+            measure_tpu(args.iters, args.batch, args.backend, args.dtype, quantize="int8"), 4)
     if not args.skip_end_to_end:
         # The REAL test.py loop (loader, ROI crop, resize, multi-ref forward,
         # soft-IoU, mask PNGs) on a synthetic tree, production config:

@@ -78,12 +78,20 @@ def main():
                          "frames batched through one co-attention) instead of "
                          "the plain pair forward")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--quantize", default="", choices=["", "int8"],
+                    help="int8 trunk/ASPP convs (nn/quant.py)")
+    ap.add_argument("--quantize-min-ci", type=int, default=0,
+                    help="quantize only convs with >= this many input channels")
     ap.add_argument("--keep-trace", default="", help="directory to keep the trace in")
     args = ap.parse_args()
 
     from cosnet_tpu.models import create_model, init_variables
     from cosnet_tpu.utils.device import device_materialize
 
+    if args.quantize == "int8":
+        from cosnet_tpu.nn.quant import enable_int8
+
+        enable_int8(min_in_channels=args.quantize_min_ci)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model("resnet_aspp_add", coattention_backend="pallas",
                          dtype=dtype, remat=args.remat)

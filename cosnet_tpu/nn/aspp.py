@@ -55,7 +55,10 @@ class _SplitInputConv(nn.Module):
 
 def _biased_conv(features, kernel, in_ch, dilation=1, padding=0, name=None, dtype=jnp.float32):
     """Conv with torch-default bias init (reference leaves conv biases at default)."""
-    return nn.Conv(
+    from cosnet_tpu.nn import quant
+
+    cls = quant.QuantConv if quant.int8_enabled() else nn.Conv
+    return cls(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(1, 1),

@@ -30,7 +30,10 @@ def _bn(name: str, dtype=jnp.float32):
 
 
 def _conv(features, kernel, stride=1, dilation=1, padding=0, use_bias=False, name=None, dtype=jnp.float32):
-    return nn.Conv(
+    from cosnet_tpu.nn import quant
+
+    cls = quant.QuantConv if quant.int8_enabled() else nn.Conv
+    return cls(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),

@@ -35,6 +35,10 @@ def get_arguments():
     p.add_argument("--coattention-backend", default="pallas")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard each job's eval batch over all TPU chips.")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8 trunk/ASPP convs (see test.py --quantize).")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="uint8 staging + on-device resize/mean-sub (sbmrgbd only).")
     p.add_argument("--per-challenge", action="store_true",
                    help="One job per challenge of the sbmrgbd subset "
                         "(the reference's per-subset sweep, served resident).")
@@ -53,7 +57,10 @@ def main():
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
+    from cosnet_tpu.utils.cache import enable_compile_cache
     from cosnet_tpu.utils.logging import RunLogger
+
+    enable_compile_cache()
 
     user_config = cfg.load_yaml("config.yaml")
     full_name = cfg.full_model_name(args.model)
@@ -63,6 +70,11 @@ def main():
     print("Sweep logs in", result_dir)
     logger.section(str(vars(args)))
 
+    if args.quantize == "int8":
+        from cosnet_tpu.nn.quant import enable_int8
+
+        enable_int8(min_in_channels=512)  # measured sweet spot, docs/PERF_r3.md
+        print("=====> int8 quantized inference")
     pretrained = cfg.test_pretrained_params(user_config, full_name)
     t_init = time.time()
     session = EvalSession(
@@ -102,7 +114,8 @@ def main():
         print(f"=====> job {name}: {len(ds_cfg.subset or {})} sequences"
               if ds_cfg.subset else f"=====> job {name}")
         logger.section(f"job {name}")
-        db = build_test_dataset(dataset, ds_cfg, args.batch_size)
+        db = build_test_dataset(dataset, ds_cfg, args.batch_size,
+                                raw_eval=args.device_preprocess)
         out_dir = None
         if args.save_seg_img:
             out_dir = os.path.join(result_dir, "obj_seg_imgs", name.replace("/", "_"))

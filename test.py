@@ -57,6 +57,13 @@ def get_arguments():
                              "for reproducible sweeps.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
+    parser.add_argument("--quantize", default="", choices=["", "int8"],
+                        help="Run the trunk/ASPP convs in int8 on the MXU (s8xs8->s32, "
+                             "dynamic per-tensor activation scales, per-channel weight "
+                             "scales — no calibration; same checkpoint). ~1.5-2.6x per "
+                             "conv class on v5e (benchmarks/int8_probe.py); masks gated "
+                             "vs f32 by tests/test_quant.py. Composes with --dtype "
+                             "bfloat16 for the non-conv stream.")
     parser.add_argument("--device-preprocess", action="store_true",
                         help="Ship ROI-cropped SOURCE frames as uint8 and run the "
                              "resize + mean subtraction on device inside the jitted "
@@ -73,7 +80,10 @@ def main():
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
+    from cosnet_tpu.utils.cache import enable_compile_cache
     from cosnet_tpu.utils.logging import RunLogger
+
+    enable_compile_cache()
 
     user_config = cfg.load_yaml("config.yaml")
     full_name = cfg.full_model_name(args.model)
@@ -114,6 +124,15 @@ def main():
         enable_context_parallel(cp_mesh, "data", chunk_backend=args.coattention_backend)
         coattention_backend = args.context_parallel
         print(f"=====> context-parallel ({args.context_parallel}) over {cp_mesh.devices.size} chip(s)")
+
+    if args.quantize == "int8":
+        from cosnet_tpu.nn.quant import enable_int8
+
+        # trace-time switch: convs build as QuantConv; only the wide convs
+        # quantize — blanket int8 pays a quantize pass per conv input that
+        # costs more than narrow convs' MXU win (measured, docs/PERF_r3.md).
+        enable_int8(min_in_channels=512)  # measured sweet spot, docs/PERF_r3.md
+        print("=====> int8 quantized inference (dynamic activation scales)")
 
     pretrained = cfg.test_pretrained_params(user_config, full_name)
     session = EvalSession(

@@ -1,0 +1,82 @@
+"""int8 quantized inference (nn/quant.py): param-tree compatibility and
+mask agreement vs the f32 path — the same gate bf16 passed
+(tests/test_model_parity.py::test_bf16_inference_mask_parity pattern)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cosnet_tpu.nn import quant
+from cosnet_tpu.nn.raa import RGBDSegmentationRAA
+from cosnet_tpu.nn.resnet import Bottleneck
+
+
+@pytest.fixture(autouse=True)
+def _reset_switch():
+    yield
+    quant.disable_int8()
+
+
+def _tiny(dtype=jnp.float32):
+    return RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=[1, 1, 1, 1],
+                               num_blocks_depth=[1, 1, 1, 1], dtype=dtype)
+
+
+def _inputs(seed=5, hw=(32, 32)):
+    rng = np.random.default_rng(seed)
+    # image-scale inputs (mean-subtracted BGR range) — quantization error is
+    # relative to the tensor max, so test at realistic magnitudes
+    rgb = rng.uniform(-120, 130, (2, *hw, 3)).astype(np.float32)
+    d = rng.uniform(0, 255, (2, *hw, 1)).astype(np.float32)
+    return rgb, rng.uniform(-120, 130, (2, *hw, 3)).astype(np.float32), d, d[::-1].copy()
+
+
+def test_quantconv_param_tree_matches_nn_conv():
+    model = _tiny()
+    a, b, da, db = _inputs()
+    v_f32 = model.init(jax.random.key(0), a, b, da, db, train=False)
+    quant.enable_int8()
+    v_int8 = _tiny().init(jax.random.key(0), a, b, da, db, train=False)
+    quant.disable_int8()
+    paths_f32 = {jax.tree_util.keystr(p): v.shape
+                 for p, v in jax.tree_util.tree_leaves_with_path(v_f32)}
+    paths_i8 = {jax.tree_util.keystr(p): v.shape
+                for p, v in jax.tree_util.tree_leaves_with_path(v_int8)}
+    assert paths_f32 == paths_i8  # any checkpoint loads on either path
+
+
+def test_int8_mask_agreement_vs_f32():
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+    x_f32, _, _ = model.apply(variables, a, b, da, db, train=False)
+    m_f32 = (np.asarray(x_f32) * 255).astype(np.uint8)
+
+    quant.enable_int8()
+    try:
+        x_i8, _, _ = _tiny().apply(variables, a, b, da, db, train=False)
+    finally:
+        quant.disable_int8()
+    m_i8 = (np.asarray(x_i8) * 255).astype(np.uint8)
+
+    close = np.mean(np.abs(m_f32.astype(np.int16) - m_i8.astype(np.int16)) <= 2)
+    assert close > 0.99, close  # uint8-scale agreement (bf16-gate pattern)
+
+
+def test_quantconv_matches_f32_conv_closely():
+    """Layer-level: int8 conv ~= f32 conv within the 8-bit resolution."""
+    from cosnet_tpu.nn.quant import QuantConv
+    import flax.linen as nn
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-50, 50, (2, 16, 16, 32)).astype(np.float32)
+    conv = nn.Conv(features=64, kernel_size=(3, 3), padding=((1, 1), (1, 1)), use_bias=False)
+    v = conv.init(jax.random.key(2), x)
+    qconv = QuantConv(features=64, kernel_size=(3, 3), padding=((1, 1), (1, 1)), use_bias=False)
+    y = np.asarray(conv.apply(v, x))
+    yq = np.asarray(qconv.apply(v, x))
+    # error budget: |y-yq| <= (|x|max·dw + |w|max·dx)-ish; empirically ~1e-2
+    # of the output range for 8-bit symmetric quantization
+    denom = np.abs(y).max()
+    assert np.abs(y - yq).max() / denom < 0.02
