@@ -81,6 +81,10 @@ def env_for(n_local_devices: int):
         PYTHONPATH=f"{REPO}:{existing}" if existing else REPO,
         JAX_PLATFORMS="cpu",
         COSNET_CPU_DEVICES=str(n_local_devices),
+        # Both processes must compile in lockstep: with the persistent cache
+        # on, a hit on one side and a miss on the other skews them past
+        # gloo's hardcoded 30 s rendezvous window (observed on this host).
+        COSNET_JAX_CACHE="off",
     )
     return env
 
@@ -97,6 +101,13 @@ def train_cmd(extra):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    # Default 16 frames -> 1 global step. On this 1-core host, gloo's
+    # rendezvous KV lookups (hardcoded 30 s) flake when the two processes
+    # skew during the big jit compile + data decode; 1 step keeps the run
+    # reliable while still executing the full wiring (coordinator join,
+    # hierarchical mesh, disjoint shards, cross-process grad psum, shared
+    # snapshot dir, .pth save + barrier). Pass --frames 24 for a 2-step
+    # sequence (momentum update covered) on an idle multi-core host.
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--timeout", type=int, default=5400)
     ap.add_argument("--out", default=os.path.join(REPO, "MULTIPROC_r03.json"))
@@ -114,27 +125,36 @@ def main():
         workdir = tempfile.mkdtemp(prefix=f"cosnet_mp_{mode}_")
         write_config(workdir, tree, args.batch, steps=args.frames // args.batch)
         if mode == "2proc":
-            procs = []
-            for pid in (0, 1):
-                cmd = train_cmd(["--multihost",
-                                 "--coordinator-address", f"localhost:{port}",
-                                 "--num-processes", "2", "--process-id", str(pid)])
-                procs.append(subprocess.Popen(
-                    cmd, cwd=workdir, env=env_for(4),
-                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-            outs = []
-            for p in procs:
-                try:
-                    out, _ = p.communicate(timeout=args.timeout)
-                except subprocess.TimeoutExpired:
-                    for q in procs:
-                        q.kill()
-                    sys.exit(f"{mode}: timeout after {args.timeout}s")
-                outs.append(out)
-            if any(p.returncode != 0 for p in procs):
-                for qid, o in enumerate(outs):  # the root cause may be in EITHER log
-                    sys.stderr.write(f"--- process {qid} output ---\n{o[-4000:]}\n")
-                sys.exit(f"{mode}: exit codes {[p.returncode for p in procs]}")
+            # Gloo's rendezvous KV lookups time out at 30 s: on this 1-core
+            # host OS scheduling can skew the two processes past that during
+            # the long jit compile (both run cache-off, see env_for). The
+            # skew is scheduling luck, so one retry redraws it.
+            for attempt in (1, 2):
+                procs = []
+                for pid in (0, 1):
+                    cmd = train_cmd(["--multihost",
+                                     "--coordinator-address", f"localhost:{port + attempt}",
+                                     "--num-processes", "2", "--process-id", str(pid)])
+                    procs.append(subprocess.Popen(
+                        cmd, cwd=workdir, env=env_for(4),
+                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+                outs = []
+                for p in procs:
+                    try:
+                        out, _ = p.communicate(timeout=args.timeout)
+                    except subprocess.TimeoutExpired:
+                        for q in procs:
+                            q.kill()
+                        sys.exit(f"{mode}: timeout after {args.timeout}s")
+                    outs.append(out)
+                if all(p.returncode == 0 for p in procs):
+                    break
+                if attempt == 2:
+                    for qid, o in enumerate(outs):  # root cause may be in EITHER log
+                        sys.stderr.write(f"--- process {qid} output ---\n{o[-4000:]}\n")
+                    sys.exit(f"{mode}: exit codes {[p.returncode for p in procs]}")
+                sys.stderr.write(f"{mode}: attempt 1 failed "
+                                 f"({[p.returncode for p in procs]}), retrying warm\n")
             losses = [parse_losses(o) for o in outs]
             if losses[0] != losses[1]:
                 sys.exit(f"2proc: processes disagree on the loss sequence: {losses}")
