@@ -208,14 +208,15 @@ class SbmRgbdDataset:
 
     def raw_hull(self) -> Tuple[int, int]:
         """Static (H, W) hull every cropped frame pads into — max crop size
-        over the active sequences (one XLA compilation covers the dataset)."""
+        over ALL sequences of the tree (not just the active subset), so every
+        subset/challenge job of a sweep shares ONE XLA compilation."""
         if self._raw_hull is None:
             h = w = 1
-            for seq in self.index.sequences:
+            for seq in self.entire.sequences:
                 if seq in self.source_hw:
                     sh, sw = self.source_hw[seq]
                 else:  # no ROI.bmp: source size from one decoded frame
-                    probe = self._decode_raw("depth", self.index.frames_of(seq)[0])
+                    probe = self._decode_raw("depth", self.entire.frames_of(seq)[0])
                     self.source_hw[seq] = probe.shape[:2]
                     sh, sw = probe.shape[:2]
                 roi = self.roi.get(seq)
