@@ -150,6 +150,12 @@ class EvalSession:
                 with mesh:
                     dev_batch = shard_batch(dev_batch, mesh)
             else:
+                # Pad any short trailing batch (a keep_remainder dataset) up
+                # to the compiled batch geometry so one executable serves the
+                # whole run; padded rows are stripped via n_real below.
+                from cosnet_tpu.parallel.mesh import pad_batch_to_multiple
+
+                dev_batch, n_real = pad_batch_to_multiple(dev_batch, batch_size)
                 dev_batch = {k: jax.device_put(v) for k, v in dev_batch.items()}
             return batch, dev_batch, n_real
 
@@ -266,8 +272,15 @@ class EvalSession:
 def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
                        davis_subset_file: Optional[str] = None,
                        decode_cache_mb: Optional[float] = None,
-                       raw_eval: bool = False):
-    """Dataset for an eval run (test.py:253-255 channel selection rules)."""
+                       raw_eval: bool = False, keep_remainder: bool = False):
+    """Dataset for an eval run (test.py:253-255 channel selection rules).
+
+    ``keep_remainder=True`` disables the reference's dataset-length
+    truncation quirk (len rounded DOWN to a batch multiple,
+    ``/root/reference/dataloaders/sbm_rgbd_loader.py:584-585`` — at batch 8
+    a 7-frame challenge scores ZERO frames). test.py preserves the quirk
+    (eval contract); serve.py opts out so sweep jobs score every frame —
+    the runner pads short batches back to the compiled batch geometry."""
     from cosnet_tpu.data import HzfuRgbdDataset, SbmRgbdDataset
 
     channels_target, channels_cp = "rgbdt", "rgbd"
@@ -282,7 +295,9 @@ def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
         channels_for_target_frame=channels_target,
         channels_for_counterpart_frame=channels_cp,
         for_training=False,
-        batch_size=batch_size,
+        # dataset-level batch_size only drives the reference len-truncation
+        # quirk; 1 disables it (see keep_remainder above)
+        batch_size=1 if keep_remainder else batch_size,
         subset_percentage=1,
         subset=ds_cfg.subset,
         decode_cache_mb=decode_cache_mb,
@@ -303,7 +318,7 @@ def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
             sample_range=ds_cfg.sample_range,
             output_HW=ds_cfg.image_HW_4_model,
             for_training=False,
-            batch_size=batch_size,
+            batch_size=1 if keep_remainder else batch_size,
             subset_file=davis_subset_file,
             decode_cache_mb=decode_cache_mb,
         )

@@ -114,8 +114,13 @@ def main():
         print(f"=====> job {name}: {len(ds_cfg.subset or {})} sequences"
               if ds_cfg.subset else f"=====> job {name}")
         logger.section(f"job {name}")
+        # keep_remainder: serving scores EVERY frame — the reference's
+        # len-truncation quirk would zero out challenges smaller than the
+        # batch (e.g. 7-frame ColorCamouflage at batch 8); short batches are
+        # padded back to the compiled geometry by the runner.
         db = build_test_dataset(dataset, ds_cfg, args.batch_size,
-                                raw_eval=args.device_preprocess)
+                                raw_eval=args.device_preprocess,
+                                keep_remainder=True)
         out_dir = None
         if args.save_seg_img:
             out_dir = os.path.join(result_dir, "obj_seg_imgs", name.replace("/", "_"))

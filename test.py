@@ -104,6 +104,9 @@ def main():
         davis_subset_file = d.get("subset_file")
     else:
         ds_cfg = cfg.TestDatasetConfig.from_config(user_config, args.dataset)
+    # The reference resolves config into args BEFORE logging (test.py:132),
+    # so the ##==…==## section echoes the effective value, not the CLI default.
+    args.sample_range = ds_cfg.sample_range
     batch_size = args.batch_size or 1
 
     result_dir = os.path.join(".", "vos_test_results", args.dataset, full_name, ymd_hms)

@@ -115,6 +115,34 @@ def test_session_run_single_device(tree, tiny_model, tmp_path):
     assert m.shape == (32, 48) and m.dtype == np.uint8
 
 
+def test_keep_remainder_scores_every_frame(tree, tiny_model, tmp_path):
+    """serve.py path: the reference len-truncation quirk
+    (sbm_rgbd_loader.py:584-585) drops len % batch frames — at batch 5 the
+    16-frame tree scores 15. keep_remainder disables it; the short trailing
+    batch is padded back to the compiled batch geometry and stripped, so
+    shared frames score identically."""
+    from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
+
+    ds_cfg = DatasetCfg(name="sbmrgbd", data_path=tree, sample_range=1,
+                        image_HW_4_model=(32, 48), output_WH=(48, 32),
+                        subset=None)
+    session = EvalSession("resnet_aspp_add", coattention_backend="einsum")
+    out = {}
+    for keep in (False, True):
+        db = build_test_dataset("sbmrgbd", ds_cfg, batch_size=5,
+                                keep_remainder=keep)
+        log_path = os.path.join(str(tmp_path), f"log_keep{int(keep)}.txt")
+        logger = RunLogger(log_path)
+        res = session.run(db, ds_cfg, logger, batch_size=5, shuffle=False,
+                          print_progress=False)
+        logger.close()
+        lines = [l for l in open(log_path) if " IOU: " in l and " seq: " in l]
+        out[keep] = (res, lines)
+    assert out[False][0]["frames"] == 15  # quirk preserved (test.py contract)
+    assert out[True][0]["frames"] == 16   # serving scores every frame
+    assert out[True][1][:15] == out[False][1][:15]  # shared frames identical
+
+
 def test_session_run_data_parallel_matches(tree, tiny_model, tmp_path):
     # Same weights on both paths: seed derives from model init inside
     # EvalSession, which is deterministic (jax.random.key(0) in init_variables)
