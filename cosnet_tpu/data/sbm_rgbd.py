@@ -352,6 +352,10 @@ class SbmRgbdDataset:
                 sample[f"search_{i}"] = c_rgb
                 sample[f"search_{i}_depth"] = c_depth
                 sample[f"search_{i}_hw"] = c_hw
+                # frame identity for the device-side frame pool (runner):
+                # raw frames are augmentation-free, so (seq, id) keys a
+                # bit-identical array on every visit
+                sample[f"search_{i}_id"] = cp.frame_id
             else:
                 c_rgb, c_depth, c_gt = self.load_frame(cp, self.channels_for_counterpart_frame, rng=rng)
                 sample[f"search_{i}"] = c_rgb

@@ -17,11 +17,49 @@ the reference's log-line format.
 """
 from __future__ import annotations
 
+import collections
 import os
 import time
 from typing import Optional
 
 import numpy as np
+
+
+class _DeviceFramePool:
+    """Device-resident LRU of raw eval frames, keyed by (seq, frame_id).
+
+    The eval protocol revisits every frame ~R times as a counterpart beyond
+    its own target slot (random picks over the sequence); the stacked
+    staging re-ships each visit over the ~40 MB/s tunneled relay. Raw frames
+    are augmentation-free, so (seq, id) keys a bit-identical array — upload
+    once, reuse the device buffer. Eviction drops only the pool's reference;
+    in-flight batches keep theirs (jax arrays are refcounted)."""
+
+    def __init__(self, budget_mb: float):
+        self.budget = budget_mb * 1e6
+        self.used = 0
+        self.hits = self.misses = 0
+        self._d = collections.OrderedDict()
+
+    def get(self, key, build):
+        import jax
+
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return hit[0], hit[1]
+        rgb_np, depth_np = build()
+        rgb = jax.device_put(np.ascontiguousarray(rgb_np))
+        depth = jax.device_put(np.ascontiguousarray(depth_np))
+        nbytes = rgb_np.nbytes + depth_np.nbytes
+        self._d[key] = (rgb, depth, nbytes)
+        self.used += nbytes
+        self.misses += 1
+        while self.used > self.budget and len(self._d) > 1:
+            _, (_, _, nb) = self._d.popitem(last=False)
+            self.used -= nb
+        return rgb, depth
 
 
 class EvalSession:
@@ -90,6 +128,16 @@ class EvalSession:
                 stage_dtype=self.stage_dtype)
         return self._forwards[key]
 
+    def forward_fn_pooled(self, as_uint8: bool, out_hw, meanval):
+        from cosnet_tpu.eval.infer import build_multi_reference_forward_pooled
+
+        key = ("pooled", as_uint8, tuple(out_hw), tuple(np.asarray(meanval).tolist()))
+        if key not in self._forwards:
+            self._forwards[key] = build_multi_reference_forward_pooled(
+                self.model, self.n_inputs, out_hw, meanval, as_uint8=as_uint8,
+                stage_dtype=self.stage_dtype)
+        return self._forwards[key]
+
     def summary(self) -> str:
         from cosnet_tpu.utils.summary import model_summary
 
@@ -100,9 +148,14 @@ class EvalSession:
     def run(self, db_test, ds_cfg, logger, *, batch_size: int = 1,
             shuffle: bool = False, apply_crf: bool = False,
             output_img_dir: Optional[str] = None, no_prefetch: bool = False,
-            print_progress: bool = True) -> dict:
+            frame_pool_mb: float = 0, print_progress: bool = True) -> dict:
         """Evaluate one dataset; returns aggregate metrics. ``logger`` gets
-        the reference-format per-frame and summary lines."""
+        the reference-format per-frame and summary lines.
+
+        ``frame_pool_mb`` (raw/device-preprocess mode, single device only):
+        HBM budget for the device-resident frame pool — each unique frame
+        ships over the wire ONCE and counterpart revisits reuse the
+        device buffer (the batch stack happens inside the jit)."""
         import cv2
         import jax
 
@@ -116,7 +169,16 @@ class EvalSession:
         uint8_on_device = tuple(ds_cfg.output_WH) == (
             ds_cfg.image_HW_4_model[1], ds_cfg.image_HW_4_model[0])
         raw = bool(getattr(db_test, "raw_eval", False))
-        if raw:
+        pooled = bool(frame_pool_mb) and raw and self.mesh is None
+        if frame_pool_mb and not pooled:
+            raise SystemExit("--frame-pool requires --device-preprocess and "
+                             "is single-device (no --data-parallel)")
+        if pooled:
+            forward = self.forward_fn_pooled(uint8_on_device,
+                                             ds_cfg.image_HW_4_model,
+                                             db_test.meanval)
+            pool = _DeviceFramePool(frame_pool_mb)
+        elif raw:
             forward = self.forward_fn_raw(uint8_on_device, ds_cfg.image_HW_4_model,
                                           db_test.meanval)
         else:
@@ -127,6 +189,49 @@ class EvalSession:
         mesh, variables = self.mesh, self.variables
         testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=shuffle,
                                  drop_last=False)
+
+        def stage_pooled(batch):
+            """Frame-pool staging: resolve every slot of the batch to a
+            device-resident per-frame buffer (uploading only pool misses);
+            the [B(,R),...] stacks are built inside the jitted forward."""
+            n_real = batch["target"].shape[0]
+            tt, td, ss, sd = [], [], [], []
+            for i in range(n_real):
+                seq = batch["seq_name"][i]
+                r, d = pool.get((seq, batch["frame_index"][i]),
+                                lambda i=i: (batch["target"][i], batch["target_depth"][i]))
+                tt.append(r)
+                td.append(d)
+                rs, ds_ = [], []
+                for j in range(sample_range):
+                    cr, cd = pool.get(
+                        (seq, batch[f"search_{j}_id"][i]),
+                        lambda i=i, j=j: (batch[f"search_{j}"][i],
+                                          batch[f"search_{j}_depth"][i]))
+                    rs.append(cr)
+                    ds_.append(cd)
+                ss.append(tuple(rs))
+                sd.append(tuple(ds_))
+            idxs = list(range(n_real))
+            if n_real < batch_size:
+                # pad to the compiled batch geometry by repeating the last
+                # row — free: replicated device buffer refs, no uploads
+                pad = batch_size - n_real
+                tt += tt[-1:] * pad
+                td += td[-1:] * pad
+                ss += ss[-1:] * pad
+                sd += sd[-1:] * pad
+                idxs += [n_real - 1] * pad
+            t_hw = np.asarray(batch["target_hw"])[idxs]
+            s_hws = np.stack([batch[f"search_{j}_hw"] for j in range(sample_range)],
+                             axis=1)[idxs]
+            dev_batch = {
+                "targets": tuple(tt), "target_depths": tuple(td),
+                "searches": tuple(ss), "search_depths": tuple(sd),
+                "target_hw": jax.device_put(t_hw),
+                "search_hws": jax.device_put(s_hws),
+            }
+            return batch, dev_batch, n_real
 
         def stage(batch):
             """Stack the N reference frames + start async H2D transfer for one
@@ -159,8 +264,9 @@ class EvalSession:
                 dev_batch = {k: jax.device_put(v) for k, v in dev_batch.items()}
             return batch, dev_batch, n_real
 
-        staged = map(stage, iter(testloader)) if no_prefetch \
-            else device_prefetch(iter(testloader), put=stage)
+        put = stage_pooled if pooled else stage
+        staged = map(put, iter(testloader)) if no_prefetch \
+            else device_prefetch(iter(testloader), put=put)
 
         iou_result, f_result, iou_counter = 0.0, 0.0, 0
         per_challenge = {}  # challenge -> (iou sum, F sum, frames)
@@ -172,7 +278,11 @@ class EvalSession:
                 print("%d processd" % index)
             b = batch["target"].shape[0]
             t0 = time.time()
-            if raw:
+            if pooled:
+                mask = forward(variables, dev_batch["targets"], dev_batch["searches"],
+                               dev_batch["target_depths"], dev_batch["search_depths"],
+                               dev_batch["target_hw"], dev_batch["search_hws"])
+            elif raw:
                 mask = forward(variables, dev_batch["target"], dev_batch["searches"],
                                dev_batch["target_depth"], dev_batch["search_depths"],
                                dev_batch["target_hw"], dev_batch["search_hws"])
@@ -233,6 +343,11 @@ class EvalSession:
 
         result = {"frames": frames_done, "iou": None, "f_measure": None,
                   "per_challenge": {}, "fps": None, "steady_fps": None, "p50_ms": None}
+        if pooled:
+            result["pool"] = {"uploads": pool.misses, "hits": pool.hits,
+                              "resident_mb": round(pool.used / 1e6, 1)}
+            logger.write(f"frame pool: {pool.misses} uploads, {pool.hits} hits "
+                         f"({pool.used / 1e6:.0f} MB resident)\n")
         if iou_counter:
             if len(per_challenge) > 1:
                 for chal in sorted(per_challenge):

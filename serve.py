@@ -39,6 +39,9 @@ def get_arguments():
                    help="int8 trunk/ASPP convs (see test.py --quantize).")
     p.add_argument("--device-preprocess", action="store_true",
                    help="uint8 staging + on-device resize/mean-sub (sbmrgbd only).")
+    p.add_argument("--frame-pool", type=float, default=0, metavar="MB",
+                   help="Device-resident frame pool budget in MB (see test.py "
+                        "--frame-pool; requires --device-preprocess, single device).")
     p.add_argument("--per-challenge", action="store_true",
                    help="One job per challenge of the sbmrgbd subset "
                         "(the reference's per-subset sweep, served resident).")
@@ -131,6 +134,7 @@ def main():
             shuffle=args.shuffle,
             apply_crf=apply_crf,
             output_img_dir=out_dir,
+            frame_pool_mb=args.frame_pool,
             print_progress=False,
         )
         res["wall_s"] = round(time.time() - t0, 2)

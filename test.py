@@ -71,6 +71,12 @@ def get_arguments():
                              "transfer-bound through the tunneled relay). cv2-exact "
                              "sample positions; masks gated bit-level by "
                              "tests/test_device_preprocess.py. sbmrgbd only.")
+    parser.add_argument("--frame-pool", type=float, default=0, metavar="MB",
+                        help="Device-resident frame pool budget in MB (requires "
+                             "--device-preprocess, single device). The eval protocol "
+                             "revisits every frame ~sample_range extra times as a "
+                             "counterpart; the pool ships each unique frame over the "
+                             "wire ONCE and builds the batch stack on device.")
     return parser.parse_args()
 
 
@@ -169,6 +175,7 @@ def main():
         apply_crf=apply_crf,
         output_img_dir=output_img_dir,
         no_prefetch=args.no_prefetch,
+        frame_pool_mb=args.frame_pool,
     )
     logger.close()
 
