@@ -273,27 +273,39 @@ class EvalSession:
         frames_done, t_start = 0, time.time()
         latencies = []
         warm_t = warm_frames = None  # set after batch 0 (compile + weight upload)
-        for index, (batch, dev_batch, n_real) in enumerate(staged):
-            if print_progress:
-                print("%d processd" % index)
-            b = batch["target"].shape[0]
-            t0 = time.time()
+
+        def dispatch(dev_batch):
+            """Launch the jitted forward; returns the async device handle."""
             if pooled:
-                mask = forward(variables, dev_batch["targets"], dev_batch["searches"],
+                return forward(variables, dev_batch["targets"], dev_batch["searches"],
                                dev_batch["target_depths"], dev_batch["search_depths"],
                                dev_batch["target_hw"], dev_batch["search_hws"])
-            elif raw:
-                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
+            if raw:
+                return forward(variables, dev_batch["target"], dev_batch["searches"],
                                dev_batch["target_depth"], dev_batch["search_depths"],
                                dev_batch["target_hw"], dev_batch["search_hws"])
-            else:
-                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
-                               dev_batch["target_depth"], dev_batch["search_depths"])
-            mask = np.asarray(mask)[:n_real]
-            latencies.append((time.time() - t0) / b)
+            return forward(variables, dev_batch["target"], dev_batch["searches"],
+                           dev_batch["target_depth"], dev_batch["search_depths"])
+
+        last_done = t_start
+
+        def consume(batch, mask_dev, n_real):
+            """Materialize one batch's masks (blocks on D2H) and score them.
+            Runs one batch BEHIND dispatch in the steady state, so the host's
+            cv2/metric/imwrite work and the mask transfer overlap the device
+            computing the next batch. Scoring order — and therefore every log
+            line and aggregate — is identical to the unpipelined loop.
+
+            Latency accounting: completion-to-completion wall delta per frame
+            (true pacing). A dispatch->materialize span would double-count the
+            overlap window once the loop is pipelined."""
+            nonlocal iou_result, f_result, iou_counter, frames_done, last_done
+            b = batch["target"].shape[0]
+            mask = np.asarray(mask_dev)[:n_real]
+            now = time.time()
+            latencies.append((now - last_done) / b)
+            last_done = now
             frames_done += b
-            if index == 0:
-                warm_t, warm_frames = time.time(), frames_done
 
             for idx in range(b):
                 if uint8_on_device:
@@ -340,6 +352,29 @@ class EvalSession:
                     # than PIL's default level 6; still a lossless PNG.
                     cv2.imwrite(os.path.join(save_dir, f"{fid}.png"), mask_u8,
                                 [cv2.IMWRITE_PNG_COMPRESSION, 1])
+
+        # 1-deep software pipeline: batch k's host scoring + mask D2H overlap
+        # batch k+1's device compute (jit dispatch is async; np.asarray is the
+        # blocking point). Batch 0 is consumed immediately so the warmup
+        # boundary still isolates compile-cache load + weight upload.
+        # COSNET_EVAL_PIPELINE=0 restores the serial loop (A/B measurement).
+        pipelined = os.environ.get("COSNET_EVAL_PIPELINE", "1") != "0"
+        pending = None
+        for index, (batch, dev_batch, n_real) in enumerate(staged):
+            if print_progress:
+                print("%d processd" % index)
+            handle = dispatch(dev_batch)
+            if pending is not None:
+                consume(*pending)
+                pending = None
+            if index == 0 or not pipelined:
+                consume(batch, handle, n_real)
+                if index == 0:
+                    warm_t, warm_frames = time.time(), frames_done
+            else:
+                pending = (batch, handle, n_real)
+        if pending is not None:
+            consume(*pending)
 
         result = {"frames": frames_done, "iou": None, "f_measure": None,
                   "per_challenge": {}, "fps": None, "steady_fps": None, "p50_ms": None}

@@ -143,6 +143,25 @@ def test_keep_remainder_scores_every_frame(tree, tiny_model, tmp_path):
     assert out[True][1][:15] == out[False][1][:15]  # shared frames identical
 
 
+def test_pipelined_loop_matches_serial(tree, tiny_model, tmp_path, monkeypatch):
+    """The 1-deep software pipeline in EvalSession.run (dispatch batch k+1
+    while scoring batch k) must not change a single log line or aggregate —
+    scoring order is the serial order by construction. COSNET_EVAL_PIPELINE=0
+    is the A/B switch; the real-TPU A/B (docs/PERF_r3.md) holds the fps
+    evidence, this pins bit-equality of outputs."""
+    out = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("COSNET_EVAL_PIPELINE", flag)
+        sub = os.path.join(str(tmp_path), flag)
+        os.makedirs(sub, exist_ok=True)
+        res, log_path, _ = _run(tree, sub, data_parallel=False)
+        lines = [l for l in open(log_path) if " IOU: " in l and " seq: " in l]
+        out[flag] = (res, lines)
+    assert out["0"][1] == out["1"][1]  # per-frame log lines bit-identical
+    assert out["0"][0]["iou"] == out["1"][0]["iou"]
+    assert out["0"][0]["f_measure"] == out["1"][0]["f_measure"]
+
+
 def test_session_run_data_parallel_matches(tree, tiny_model, tmp_path):
     # Same weights on both paths: seed derives from model init inside
     # EvalSession, which is deterministic (jax.random.key(0) in init_variables)
