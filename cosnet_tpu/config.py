@@ -77,6 +77,31 @@ class TestDatasetConfig:
         )
 
 
+def test_dataset_config(cfg: dict, dataset: str,
+                        default_sample_range: int = 5):
+    """``(TestDatasetConfig, davis_subset_file)`` for an eval run.
+
+    The davis block needs special-casing: the reference's davis eval path is
+    broken (missing module, reference ``test.py:28``) and its config entry
+    carries different keys (``path``/``subset_file``, blank geometry), so it
+    is re-derived with the reference's hardcoded 480x854 eval geometry
+    (reference ``test.py:241``) and the config's val ``subset_file``.
+    Shared by ``test.py`` and ``serve.py`` so both drivers accept every
+    dataset they advertise."""
+    if dataset == "davis":
+        d = cfg["test"]["dataset"]["davis"]
+        ds_cfg = TestDatasetConfig(
+            name="davis",
+            data_path=d.get("data_path") or d.get("path") or "",
+            sample_range=int(d.get("sample_range") or default_sample_range),
+            image_HW_4_model=_parse_hw(d["image_HW_4_model"]) if d.get("image_HW_4_model") else (480, 854),
+            output_WH=_parse_hw(d["output_WH"]) if d.get("output_WH") else (854, 480),
+            subset=None,
+        )
+        return ds_cfg, d.get("subset_file")
+    return TestDatasetConfig.from_config(cfg, dataset), None
+
+
 # Model registry: abbreviation -> full name (reference train.py:116-139,
 # test.py:180-206).
 MODEL_ABBREVIATIONS = {

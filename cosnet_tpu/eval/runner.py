@@ -249,9 +249,15 @@ class EvalSession:
                 dev_batch = {k: np.asarray(v).astype(self.stage_dtype) for k, v in dev_batch.items()}
             n_real = batch["target"].shape[0]
             if mesh is not None:
-                from cosnet_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
+                from cosnet_tpu.parallel.mesh import (
+                    compiled_batch_rows, pad_batch_to_multiple, shard_batch,
+                )
 
-                dev_batch, n_real = pad_batch_to_multiple(dev_batch, mesh.devices.size)
+                # Pad to the FULL compiled geometry, not just a device
+                # multiple — one executable serves steady and trailing
+                # batches alike (same invariant as the single-device branch).
+                dev_batch, n_real = pad_batch_to_multiple(
+                    dev_batch, compiled_batch_rows(batch_size, mesh.devices.size))
                 with mesh:
                     dev_batch = shard_batch(dev_batch, mesh)
             else:

@@ -147,6 +147,15 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
+def compiled_batch_rows(batch_size: int, n_devices: int) -> int:
+    """Leading-dim geometry every staged eval batch is padded to under a
+    mesh: the smallest device multiple that fits a full batch. Short
+    trailing batches pad UP to this — padding only to a device multiple
+    would hand XLA a second input geometry (a fresh full-model compile,
+    10-40 min cold through the tunneled TPU) for every distinct remainder."""
+    return -(batch_size // -n_devices) * n_devices
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int):
     """Pad the leading dim so it divides the mesh size; returns (batch, n_real)."""
     sizes = {v.shape[0] for v in batch.values() if hasattr(v, "shape") and v.ndim > 0}

@@ -67,6 +67,13 @@ def main():
 
     user_config = cfg.load_yaml("config.yaml")
     full_name = cfg.full_model_name(args.model)
+    # Fail BEFORE the session builds/uploads weights: a mid-sweep SystemExit
+    # from build_test_dataset would discard every completed job's results.
+    datasets = [d.strip() for d in args.datasets.split(",") if d.strip()]
+    bad = [d for d in datasets if d != "sbmrgbd"]
+    if args.device_preprocess and bad:
+        raise SystemExit(f"--device-preprocess supports sbmrgbd only "
+                         f"(job list also has {', '.join(bad)})")
     result_dir = os.path.join(".", "vos_test_results", "sweep", full_name, ymd_hms)
     os.makedirs(result_dir, exist_ok=True)
     logger = RunLogger(os.path.join(result_dir, f"sweep__{full_name}_{ymd_hms}_log.txt"))
@@ -92,12 +99,9 @@ def main():
         print(f"=====> data-parallel over {session.mesh.devices.size} chip(s)")
 
     # -- job list -----------------------------------------------------------
-    jobs = []  # (job name, dataset name, ds_cfg)
-    for dataset in args.datasets.split(","):
-        dataset = dataset.strip()
-        if not dataset:
-            continue
-        ds_cfg = cfg.TestDatasetConfig.from_config(user_config, dataset)
+    jobs = []  # (job name, dataset name, ds_cfg, davis_subset_file)
+    for dataset in datasets:
+        ds_cfg, davis_subset_file = cfg.test_dataset_config(user_config, dataset)
         if args.per_challenge and ds_cfg.subset:
             by_challenge = {}
             for seq, ids in ds_cfg.subset.items():
@@ -106,14 +110,15 @@ def main():
                 import dataclasses
 
                 jobs.append((f"{dataset}/{chal}", dataset,
-                             dataclasses.replace(ds_cfg, subset=by_challenge[chal])))
+                             dataclasses.replace(ds_cfg, subset=by_challenge[chal]),
+                             davis_subset_file))
         else:
-            jobs.append((dataset, dataset, ds_cfg))
+            jobs.append((dataset, dataset, ds_cfg, davis_subset_file))
 
     apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
     summary = {"model": full_name, "dtype": args.dtype, "init_s": round(init_s, 2),
                "data_parallel": bool(session.mesh is not None), "jobs": {}}
-    for name, dataset, ds_cfg in jobs:
+    for name, dataset, ds_cfg, davis_subset_file in jobs:
         print(f"=====> job {name}: {len(ds_cfg.subset or {})} sequences"
               if ds_cfg.subset else f"=====> job {name}")
         logger.section(f"job {name}")
@@ -122,6 +127,7 @@ def main():
         # batch (e.g. 7-frame ColorCamouflage at batch 8); short batches are
         # padded back to the compiled geometry by the runner.
         db = build_test_dataset(dataset, ds_cfg, args.batch_size,
+                                davis_subset_file=davis_subset_file,
                                 raw_eval=args.device_preprocess,
                                 keep_remainder=True)
         out_dir = None

@@ -93,23 +93,8 @@ def main():
 
     user_config = cfg.load_yaml("config.yaml")
     full_name = cfg.full_model_name(args.model)
-    davis_subset_file = None
-    if args.dataset == "davis":
-        # The reference's davis eval path is broken (missing module,
-        # test.py:28); re-derived with its hardcoded 480x854 eval geometry
-        # (reference test.py:241) and the config's val subset_file.
-        d = user_config["test"]["dataset"]["davis"]
-        ds_cfg = cfg.TestDatasetConfig(
-            name="davis",
-            data_path=d.get("data_path") or d.get("path") or "",
-            sample_range=int(d.get("sample_range") or args.sample_range),
-            image_HW_4_model=cfg._parse_hw(d["image_HW_4_model"]) if d.get("image_HW_4_model") else (480, 854),
-            output_WH=cfg._parse_hw(d["output_WH"]) if d.get("output_WH") else (854, 480),
-            subset=None,
-        )
-        davis_subset_file = d.get("subset_file")
-    else:
-        ds_cfg = cfg.TestDatasetConfig.from_config(user_config, args.dataset)
+    ds_cfg, davis_subset_file = cfg.test_dataset_config(
+        user_config, args.dataset, default_sample_range=args.sample_range)
     # The reference resolves config into args BEFORE logging (test.py:132),
     # so the ##==…==## section echoes the effective value, not the CLI default.
     args.sample_range = ds_cfg.sample_range

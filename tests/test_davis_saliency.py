@@ -64,3 +64,28 @@ def test_saliency_self_pair(tmp_path):
     s = ds[0]
     np.testing.assert_array_equal(s["target"], s["search_0"])  # self-pair
     np.testing.assert_array_equal(s["target_gt"], s["search_0_gt"])
+
+
+def test_test_dataset_config_davis_rederived():
+    """serve.py/test.py share cfg.test_dataset_config: the davis config block
+    (path/subset_file keys, blank geometry) must parse into the reference's
+    hardcoded 480x854 eval geometry instead of KeyError'ing (previously the
+    re-derivation lived only in test.py and serve.py crashed on davis)."""
+    from cosnet_tpu import config as cfg
+
+    user_config = {"test": {"dataset": {
+        "davis": {"model": "ori", "output_WH": "", "path": "/data/davis",
+                  "subset_file": "/data/davis/val.txt"},
+        "sbmrgbd": {"data_path": "/data/sbm", "sample_range": 2,
+                    "image_HW_4_model": "240, 320", "output_WH": "320,240",
+                    "subset": None},
+    }}}
+    ds_cfg, subset_file = cfg.test_dataset_config(user_config, "davis")
+    assert ds_cfg.data_path == "/data/davis"
+    assert ds_cfg.image_HW_4_model == (480, 854)
+    assert ds_cfg.output_WH == (854, 480)
+    assert ds_cfg.sample_range == 5 and ds_cfg.subset is None
+    assert subset_file == "/data/davis/val.txt"
+    ds_cfg, subset_file = cfg.test_dataset_config(user_config, "sbmrgbd")
+    assert subset_file is None
+    assert ds_cfg.sample_range == 2 and ds_cfg.image_HW_4_model == (240, 320)

@@ -74,3 +74,20 @@ def test_replicate_places_full_copy_on_every_device(setup):
     shards = leaf.addressable_shards
     assert len(shards) == 8
     assert all(s.data.shape == leaf.shape for s in shards)  # full copy each
+
+
+def test_compiled_batch_rows_one_executable_geometry():
+    """Short trailing batches pad to the FULL compiled geometry, not just a
+    device multiple — a 3-row remainder at batch 16 on 8 chips must reuse
+    the [16, ...] executable, not trigger a fresh [8, ...] compile."""
+    from cosnet_tpu.parallel.mesh import compiled_batch_rows
+
+    assert compiled_batch_rows(16, 8) == 16
+    assert compiled_batch_rows(12, 8) == 16  # steady batches pad 12 -> 16 too
+    assert compiled_batch_rows(4, 8) == 8
+    assert compiled_batch_rows(8, 8) == 8
+    # any remainder b <= batch_size lands on the same geometry
+    for b in range(1, 13):
+        padded, n_real = pad_batch_to_multiple(
+            {"x": np.zeros((b, 2), np.float32)}, compiled_batch_rows(12, 8))
+        assert n_real == b and padded["x"].shape[0] == 16

@@ -80,3 +80,26 @@ def test_quantconv_matches_f32_conv_closely():
     # of the output range for 8-bit symmetric quantization
     denom = np.abs(y).max()
     assert np.abs(y - yq).max() / denom < 0.02
+
+
+def test_enable_int8_swaps_convs_in_traced_graph():
+    """The trace-time switch must actually reach the built graph — the mask
+    agreement gate above passes trivially if the swap silently broke (on a
+    fresh-init model the final sigmoid saturates, so masks are bitwise
+    identical across f32/bf16/int8 regardless). Lower the jitted forward and
+    assert int8 operands exist iff the switch is on."""
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+
+    def lower_text():
+        f = jax.jit(lambda v, w, x, y, z: _tiny().apply(v, w, x, y, z, train=False)[0])
+        return f.lower(variables, a, b, da, db).as_text()
+
+    quant.enable_int8()
+    try:
+        quantized = lower_text()
+    finally:
+        quant.disable_int8()
+    assert "xi8>" in quantized  # int8 conv operands present
+    assert "xi8>" not in lower_text()  # and absent with the switch off
