@@ -31,13 +31,19 @@ def device_memory_line(prefix: str = "") -> str:
     return f"{prefix} " + "  ".join(parts) + "\n"
 
 
-def log_device_memory(logger, prefix: str):
+def sample_memory_line(prefix: str) -> str:
+    """The logMem line as a string — lets a pipelined loop sample memory at
+    the semantically right moment but defer the WRITE so log-line order
+    stays byte-identical to the serial loop."""
     try:
-        line = device_memory_line(prefix)
+        return device_memory_line(prefix)
     except Exception as e:  # memory_stats unsupported on some backends
-        line = f"{prefix} (memory stats unavailable: {e})\n"
+        return f"{prefix} (memory stats unavailable: {e})\n"
+
+
+def log_device_memory(logger, prefix: str):
     if logger:
-        logger.write(line)
+        logger.write(sample_memory_line(prefix))
 
 
 @contextlib.contextmanager

@@ -80,6 +80,12 @@ def get_arguments():
                              "disabled there; opt-in here) and log flagged frames.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
+    parser.add_argument("--decode-cache-mb", type=float, default=512,
+                        help="Host RAM budget (MB) for the decoded-frame LRU. "
+                             "Training decodes each frame once per epoch, so the "
+                             "cache pays only across epochs — bounded at a modest "
+                             "default rather than the eval loop's 2048 MB "
+                             "(eval revisits frames within one pass). 0 disables.")
     parser.add_argument("--context-parallel", default="", choices=["", "ring", "ulysses"],
                         help="Shard the co-attention's spatial tokens over the mesh for "
                              "TRAINING (ring: chunks rotate over ICI with online-softmax "
@@ -148,7 +154,7 @@ def main():
     from cosnet_tpu.train.optim import GroupedSGD, lr_poly
     from cosnet_tpu.train.state import TrainState, make_train_step
     from cosnet_tpu.utils.logging import RunLogger
-    from cosnet_tpu.utils.profiling import log_device_memory, trace
+    from cosnet_tpu.utils.profiling import log_device_memory, sample_memory_line, trace
     from cosnet_tpu.utils.torch_import import (
         load_pth, merge_variables, state_dict_to_variables, unmatched_paths,
     )
@@ -229,6 +235,7 @@ def main():
         batch_size=ds_cfg.batch_size,
         seed=args.random_seed,
         augment_on_host=not args.device_augment,
+        decode_cache_mb=args.decode_cache_mb,
     )
     debug_dir = osp.join(snapshot_dir, "debug") if args.debug_images else None
     if args.dataset == "sbmrgbd":
@@ -349,18 +356,44 @@ def main():
             db_train.new_training_epoch()
             batches = map(stage, iter(trainloader)) if args.no_prefetch \
                 else device_prefetch(iter(trainloader), put=stage)
+            # 1-deep software pipeline (same shape as the eval loop,
+            # eval/runner.py): step k+1 dispatches before step k's loss is
+            # fetched, so the per-step host sync (`float(loss)` — a 3-29 ms
+            # relay round-trip on the tunneled TPU) rides under the device
+            # computing step k+1. Step k's full log block — the " Start
+            # batch" HBM line (sampled pre-dispatch), " After step" line,
+            # and the Epoch loss line — is buffered and emitted when its
+            # loss materializes, so log-line order and content are
+            # byte-identical to the serial loop. COSNET_TRAIN_PIPELINE=0
+            # restores the serial loop (A/B measurement).
+            pipelined = os.environ.get("COSNET_TRAIN_PIPELINE", "1") != "0"
+            pending = None  # (i_iter, lr, device loss handle, start-batch HBM line)
+
+            def consume(it, lr, loss_dev, start_line):
+                loss = float(loss_dev)  # blocks until step `it` is complete
+                if logger:
+                    logger.write(start_line)
+                log_device_memory(logger, " After step")
+                loss_history.append(loss)
+                print("===> Epoch[{}]({}/{}): Loss: {:.10f}  lr: {:.5f}".format(epoch, it, train_len, loss, lr))
+                logger.epoch_line(epoch, it, train_len, loss, lr)
+
             for i_iter, device_batch in enumerate(batches):
-                log_device_memory(logger, " Start batch")
+                start_line = sample_memory_line(" Start batch")
                 lr = float(lr_poly(args.learning_rate, i_iter + epoch * train_len, max_iter, args.power, epoch))
                 if args.saliency_alternating:
                     state, loss = jitted_step(state, device_batch, lr, i_iter % 3 == 0)
                 else:
                     state, loss = jitted_step(state, device_batch, lr)
-                loss = float(loss)
-                log_device_memory(logger, " After step")
-                loss_history.append(loss)
-                print("===> Epoch[{}]({}/{}): Loss: {:.10f}  lr: {:.5f}".format(epoch, i_iter, train_len, loss, lr))
-                logger.epoch_line(epoch, i_iter, train_len, loss, lr)
+                if pending is not None:
+                    consume(*pending)
+                    pending = None
+                if pipelined:
+                    pending = (i_iter, lr, loss, start_line)
+                else:
+                    consume(i_iter, lr, loss, start_line)
+            if pending is not None:
+                consume(*pending)  # flush before the epoch checkpoint
 
             print("=====> saving model")
             # The state is fully replicated (DP), so process 0 holds every
