@@ -285,6 +285,16 @@ def main():
         if e2e:
             out["end_to_end_fps"], out["end_to_end_p50_ms"] = round(e2e[0], 4), round(e2e[1], 1)
             out["end_to_end_fps_incl_warmup"] = round(e2e[2], 4)
+        # --device-metrics: the serving-mode loop — scores computed on device
+        # as bit-exact integer counters (24 B/frame D2H instead of the 0.4 MB
+        # mask; tests/test_device_metrics.py pins log-line equality). Reported
+        # separately: the headline above still materializes every mask.
+        dm = measure_end_to_end(
+            args.dtype, extra_args=["--device-preprocess", "--frame-pool", "256",
+                                    "--device-metrics"])
+        if dm:
+            out["end_to_end_fps_device_metrics"] = round(dm[0], 4)
+            out["end_to_end_p50_ms_device_metrics"] = round(dm[1], 1)
         # Same loop with fully host-side preprocessing (the reference's exact
         # float path, bit-exact loader parity) — kept for comparability with
         # BENCH_r01/r02.

@@ -33,33 +33,51 @@ class _DeviceFramePool:
     staging re-ships each visit over the ~40 MB/s tunneled relay. Raw frames
     are augmentation-free, so (seq, id) keys a bit-identical array — upload
     once, reuse the device buffer. Eviction drops only the pool's reference;
-    in-flight batches keep theirs (jax arrays are refcounted)."""
+    in-flight batches keep theirs (jax arrays are refcounted).
+
+    Under data-parallel eval the pool is device-aware: a row's frames live
+    on its shard's device; a frame revisited on a DIFFERENT device is
+    copied device-to-device (ICI/HBM traffic, counted as a ``move``) — the
+    host wire still carries each unique frame exactly once."""
 
     def __init__(self, budget_mb: float):
         self.budget = budget_mb * 1e6
         self.used = 0
-        self.hits = self.misses = 0
-        self._d = collections.OrderedDict()
+        self.hits = self.misses = self.moves = 0
+        self._d = collections.OrderedDict()  # key -> [{device: (rgb, depth)}, bytes/copy]
 
-    def get(self, key, build):
+    def get(self, key, build, device=None):
         import jax
 
-        hit = self._d.get(key)
-        if hit is not None:
-            self._d.move_to_end(key)
+        entry = self._d.get(key)
+        if entry is None:
+            rgb_np, depth_np = build()
+            rgb = jax.device_put(np.ascontiguousarray(rgb_np), device)
+            depth = jax.device_put(np.ascontiguousarray(depth_np), device)
+            per_copy = rgb_np.nbytes + depth_np.nbytes
+            self._d[key] = [{device: (rgb, depth)}, per_copy]
+            self.used += per_copy
+            self.misses += 1
+            self._evict()
+            return rgb, depth
+        self._d.move_to_end(key)
+        copies, per_copy = entry
+        buf = copies.get(device)
+        if buf is not None:
             self.hits += 1
-            return hit[0], hit[1]
-        rgb_np, depth_np = build()
-        rgb = jax.device_put(np.ascontiguousarray(rgb_np))
-        depth = jax.device_put(np.ascontiguousarray(depth_np))
-        nbytes = rgb_np.nbytes + depth_np.nbytes
-        self._d[key] = (rgb, depth, nbytes)
-        self.used += nbytes
-        self.misses += 1
+            return buf
+        src = next(iter(copies.values()))
+        buf = (jax.device_put(src[0], device), jax.device_put(src[1], device))
+        copies[device] = buf
+        self.used += per_copy
+        self.moves += 1
+        self._evict()
+        return buf
+
+    def _evict(self):
         while self.used > self.budget and len(self._d) > 1:
-            _, (_, _, nb) = self._d.popitem(last=False)
-            self.used -= nb
-        return rgb, depth
+            _, (copies, per_copy) = self._d.popitem(last=False)
+            self.used -= per_copy * len(copies)
 
 
 class EvalSession:
@@ -109,6 +127,21 @@ class EvalSession:
             variables = replicate(variables, self.mesh)
         self.variables = variables
         self._forwards = {}  # as_uint8 -> jitted multi-ref forward (reused per sweep)
+        self._counters_fn = None  # lazy jitted metric-counter reduction
+
+    def counters_fn(self):
+        """Jitted device-side metric reduction (eval/metrics.py::metric_counters):
+        chains on the forward's mask handle so only [B, 6] int32 counters —
+        24 bytes/frame — cross the relay instead of the 0.4 MB mask. One tiny
+        program, shared across every geometry via jit's shape cache; under a
+        mesh the batch-sharded inputs propagate to a batch-sharded output."""
+        if self._counters_fn is None:
+            import jax
+
+            from cosnet_tpu.eval.metrics import metric_counters
+
+            self._counters_fn = jax.jit(metric_counters)
+        return self._counters_fn
 
     def forward_fn(self, as_uint8: bool):
         from cosnet_tpu.eval.infer import build_multi_reference_forward
@@ -148,20 +181,26 @@ class EvalSession:
     def run(self, db_test, ds_cfg, logger, *, batch_size: int = 1,
             shuffle: bool = False, apply_crf: bool = False,
             output_img_dir: Optional[str] = None, no_prefetch: bool = False,
-            frame_pool_mb: float = 0, print_progress: bool = True) -> dict:
+            frame_pool_mb: float = 0, print_progress: bool = True,
+            device_metrics: bool = False) -> dict:
         """Evaluate one dataset; returns aggregate metrics. ``logger`` gets
         the reference-format per-frame and summary lines.
 
-        ``frame_pool_mb`` (raw/device-preprocess mode, single device only):
-        HBM budget for the device-resident frame pool — each unique frame
-        ships over the wire ONCE and counterpart revisits reuse the
-        device buffer (the batch stack happens inside the jit)."""
+        ``frame_pool_mb`` (raw/device-preprocess mode): HBM budget for the
+        device-resident frame pool — each unique frame ships over the wire
+        ONCE and counterpart revisits reuse the device buffer. Single
+        device: the batch stack happens inside the jit. Data-parallel: each
+        shard's rows are stacked ON their device and assembled into the
+        global sharded batch zero-copy (revisits landing on a different
+        device move device-to-device, never back over the host wire)."""
         import cv2
         import jax
 
         from cosnet_tpu.data import BatchLoader
         from cosnet_tpu.data.pipeline import device_prefetch
-        from cosnet_tpu.eval.metrics import compute_iou, f_measure
+        from cosnet_tpu.eval.metrics import (
+            compute_iou, f_measure, pack_gt_bits, scores_from_counters,
+        )
 
         sample_range = ds_cfg.sample_range
         # When output_WH matches the model input size (all reference configs),
@@ -169,14 +208,32 @@ class EvalSession:
         uint8_on_device = tuple(ds_cfg.output_WH) == (
             ds_cfg.image_HW_4_model[1], ds_cfg.image_HW_4_model[0])
         raw = bool(getattr(db_test, "raw_eval", False))
-        pooled = bool(frame_pool_mb) and raw and self.mesh is None
+        # Device metrics: score on device (bit-exact integer counters,
+        # eval/metrics.py) — the mask never crosses the relay. Needs the
+        # mask at model resolution on device (uint8_on_device) and a run
+        # that doesn't consume masks on the host (no CRF, no PNG output).
+        if device_metrics and (apply_crf or output_img_dir or not uint8_on_device):
+            raise SystemExit("--device-metrics requires output_WH == model "
+                             "input size and is incompatible with --use_crf "
+                             "and mask PNG output (the host never sees masks)")
+        score_hw = tuple(int(v) for v in ds_cfg.image_HW_4_model)
+        counters_fn = self.counters_fn() if device_metrics else None
+        pooled = bool(frame_pool_mb) and raw and jax.process_count() == 1
         if frame_pool_mb and not pooled:
-            raise SystemExit("--frame-pool requires --device-preprocess and "
-                             "is single-device (no --data-parallel)")
-        if pooled:
+            raise SystemExit("--frame-pool requires --device-preprocess "
+                             "(and a single-host run)")
+        pooled_tuple = pooled and self.mesh is None  # stack inside the jit
+        pooled_dp = pooled and self.mesh is not None  # per-shard device stacks
+        if pooled_tuple:
             forward = self.forward_fn_pooled(uint8_on_device,
                                              ds_cfg.image_HW_4_model,
                                              db_test.meanval)
+            pool = _DeviceFramePool(frame_pool_mb)
+        elif pooled_dp:
+            # the already-compiled sharded raw executable consumes the
+            # pool-assembled global batch — no extra program
+            forward = self.forward_fn_raw(uint8_on_device, ds_cfg.image_HW_4_model,
+                                          db_test.meanval)
             pool = _DeviceFramePool(frame_pool_mb)
         elif raw:
             forward = self.forward_fn_raw(uint8_on_device, ds_cfg.image_HW_4_model,
@@ -189,6 +246,19 @@ class EvalSession:
         mesh, variables = self.mesh, self.variables
         testloader = BatchLoader(db_test, batch_size=batch_size, shuffle=shuffle,
                                  drop_last=False)
+
+        def gt_bits_rows(batch, row_idx):
+            """Packed binary GT at the scored (model) resolution for the given
+            batch rows — 8x smaller than the u8 plane on the wire; mirrors the
+            host scorer's NEAREST resize when a config diverges."""
+            rows = []
+            for i in row_idx:
+                gt = np.asarray(batch["target_gt"][i])
+                if gt.shape != score_hw:
+                    gt = cv2.resize(gt, tuple(ds_cfg.output_WH),
+                                    interpolation=cv2.INTER_NEAREST)
+                rows.append(pack_gt_bits(gt))
+            return np.stack(rows)
 
         def stage_pooled(batch):
             """Frame-pool staging: resolve every slot of the batch to a
@@ -231,6 +301,85 @@ class EvalSession:
                 "target_hw": jax.device_put(t_hw),
                 "search_hws": jax.device_put(s_hws),
             }
+            if device_metrics:
+                dev_batch["gt_bits"] = jax.device_put(gt_bits_rows(batch, idxs))
+            return batch, dev_batch, n_real
+
+        def stage_pooled_dp(batch):
+            """Data-parallel frame-pool staging: each row's frames resolve
+            to pool buffers ON THE ROW'S SHARD DEVICE (misses upload once;
+            revisits on another device copy device-to-device — ICI/HBM, not
+            the host wire). Each device's rows are stacked on-device (the
+            inputs are committed there, so the XLA concat runs there) and
+            the global [B,...] batch is assembled zero-copy from the
+            per-device shards; the sharded raw executable consumes it."""
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from cosnet_tpu.parallel.mesh import compiled_batch_rows, shard_batch
+
+            n_real = batch["target"].shape[0]
+            rows = compiled_batch_rows(batch_size, mesh.devices.size)
+            devices = list(mesh.devices.flat)
+            per = rows // len(devices)
+            # pad by repeating the last row — free at the pool level (refs,
+            # or at worst one d2d copy per pad device)
+            row_src = list(range(n_real)) + [n_real - 1] * (rows - n_real)
+
+            t_rows, td_rows, s_rows, sd_rows = [], [], [], []
+            for pos, i in enumerate(row_src):
+                dev = devices[pos // per]
+                seq = batch["seq_name"][i]
+                r, d = pool.get((seq, batch["frame_index"][i]),
+                                lambda i=i: (batch["target"][i],
+                                             batch["target_depth"][i]), dev)
+                t_rows.append(r)
+                td_rows.append(d)
+                rs, ds_ = [], []
+                for j in range(sample_range):
+                    cr, cd = pool.get(
+                        (seq, batch[f"search_{j}_id"][i]),
+                        lambda i=i, j=j: (batch[f"search_{j}"][i],
+                                          batch[f"search_{j}_depth"][i]), dev)
+                    rs.append(cr)
+                    ds_.append(cd)
+                s_rows.append(rs)
+                sd_rows.append(ds_)
+
+            # same spec as shard_batch's default so the pooled global batch
+            # is indistinguishable from the raw path's — one executable
+            sharding = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+
+            def shard_stack(rows_list, nested):
+                shards = []
+                for k in range(len(devices)):
+                    chunk = rows_list[k * per:(k + 1) * per]
+                    if nested:  # rows of R per-frame buffers -> [per, R, ...]
+                        shards.append(jnp.stack([jnp.stack(r) for r in chunk]))
+                    else:
+                        shards.append(jnp.stack(chunk))
+                global_shape = (rows,) + shards[0].shape[1:]
+                return jax.make_array_from_single_device_arrays(
+                    global_shape, sharding, shards)
+
+            t_hw = np.asarray(batch["target_hw"])[row_src]
+            s_hws = np.stack([batch[f"search_{j}_hw"] for j in range(sample_range)],
+                             axis=1)[row_src]
+            small_host = {"target_hw": t_hw, "search_hws": s_hws}
+            if device_metrics:
+                small_host["gt_bits"] = gt_bits_rows(batch, row_src)
+            with mesh:
+                small = shard_batch(small_host, mesh)
+            dev_batch = {
+                "target": shard_stack(t_rows, False),
+                "searches": shard_stack(s_rows, True),
+                "target_depth": shard_stack(td_rows, False),
+                "search_depths": shard_stack(sd_rows, True),
+                "target_hw": small["target_hw"],
+                "search_hws": small["search_hws"],
+            }
+            if device_metrics:
+                dev_batch["gt_bits"] = small["gt_bits"]
             return batch, dev_batch, n_real
 
         def stage(batch):
@@ -248,6 +397,8 @@ class EvalSession:
             elif self.stage_dtype is not None:  # bf16 on the wire (see __init__)
                 dev_batch = {k: np.asarray(v).astype(self.stage_dtype) for k, v in dev_batch.items()}
             n_real = batch["target"].shape[0]
+            if device_metrics:  # after the cast — gt bits stay uint8
+                dev_batch["gt_bits"] = gt_bits_rows(batch, range(n_real))
             if mesh is not None:
                 from cosnet_tpu.parallel.mesh import (
                     compiled_batch_rows, pad_batch_to_multiple, shard_batch,
@@ -270,7 +421,7 @@ class EvalSession:
                 dev_batch = {k: jax.device_put(v) for k, v in dev_batch.items()}
             return batch, dev_batch, n_real
 
-        put = stage_pooled if pooled else stage
+        put = stage_pooled if pooled_tuple else stage_pooled_dp if pooled_dp else stage
         staged = map(put, iter(testloader)) if no_prefetch \
             else device_prefetch(iter(testloader), put=put)
 
@@ -281,19 +432,44 @@ class EvalSession:
         warm_t = warm_frames = None  # set after batch 0 (compile + weight upload)
 
         def dispatch(dev_batch):
-            """Launch the jitted forward; returns the async device handle."""
-            if pooled:
-                return forward(variables, dev_batch["targets"], dev_batch["searches"],
+            """Launch the jitted forward; returns the async device handle.
+            In device-metrics mode the counter reduction chains on the mask
+            handle (both dispatches are async) so the mask lives and dies on
+            device — only [B, 6] int32 ever crosses the relay."""
+            if pooled_tuple:
+                mask = forward(variables, dev_batch["targets"], dev_batch["searches"],
                                dev_batch["target_depths"], dev_batch["search_depths"],
                                dev_batch["target_hw"], dev_batch["search_hws"])
-            if raw:
-                return forward(variables, dev_batch["target"], dev_batch["searches"],
+            elif raw:
+                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
                                dev_batch["target_depth"], dev_batch["search_depths"],
                                dev_batch["target_hw"], dev_batch["search_hws"])
-            return forward(variables, dev_batch["target"], dev_batch["searches"],
-                           dev_batch["target_depth"], dev_batch["search_depths"])
+            else:
+                mask = forward(variables, dev_batch["target"], dev_batch["searches"],
+                               dev_batch["target_depth"], dev_batch["search_depths"])
+            if device_metrics:
+                return counters_fn(mask, dev_batch["gt_bits"])
+            return mask
 
         last_done = t_start
+
+        def _tally(batch, idx, iou, fm):
+            """Per-frame logging + aggregation (shared by host scoring and
+            device-metrics scoring; lines and sums are identical)."""
+            nonlocal iou_result, f_result, iou_counter
+            seq, fid = batch["seq_name"][idx], batch["frame_index"][idx]
+            logger.iou_line(seq, fid, iou)
+            logger.write(f"{seq} {fid} F-measure: {fm}\n")
+            iou_result += iou
+            f_result += fm
+            iou_counter += 1
+            # SBM-RGBD seq names are "<challenge>/<seq>"; aggregate per
+            # challenge so one run reports the full per-subset sweep table
+            # (BASELINE.md's north-star eval; other datasets fall into one
+            # bucket named after the sequence prefix).
+            chal = seq.split("/")[0] if "/" in seq else seq
+            c_iou, c_f, c_n = per_challenge.get(chal, (0.0, 0.0, 0))
+            per_challenge[chal] = (c_iou + iou, c_f + fm, c_n + 1)
 
         def consume(batch, mask_dev, n_real):
             """Materialize one batch's masks (blocks on D2H) and score them.
@@ -305,8 +481,10 @@ class EvalSession:
             Latency accounting: completion-to-completion wall delta per frame
             (true pacing). A dispatch->materialize span would double-count the
             overlap window once the loop is pipelined."""
-            nonlocal iou_result, f_result, iou_counter, frames_done, last_done
+            nonlocal frames_done, last_done
             b = batch["target"].shape[0]
+            # The only blocking D2H of the loop: [B,6] int32 counters in
+            # device-metrics mode, the mask stack otherwise.
             mask = np.asarray(mask_dev)[:n_real]
             now = time.time()
             latencies.append((now - last_done) / b)
@@ -314,6 +492,10 @@ class EvalSession:
             frames_done += b
 
             for idx in range(b):
+                if device_metrics:
+                    iou, fm = scores_from_counters(mask[idx], score_hw)
+                    _tally(batch, idx, iou, fm)
+                    continue
                 if uint8_on_device:
                     mask_u8 = mask[idx, :, :, 0]
                 else:
@@ -337,20 +519,9 @@ class EvalSession:
                     gt = cv2.resize(gt, tuple(ds_cfg.output_WH), interpolation=cv2.INTER_NEAREST)
                 iou = compute_iou(mask_u8, gt)
                 fm = f_measure(mask_u8, gt)
-                seq, fid = batch["seq_name"][idx], batch["frame_index"][idx]
-                logger.iou_line(seq, fid, iou)
-                logger.write(f"{seq} {fid} F-measure: {fm}\n")
-                iou_result += iou
-                f_result += fm
-                iou_counter += 1
-                # SBM-RGBD seq names are "<challenge>/<seq>"; aggregate per
-                # challenge so one run reports the full per-subset sweep table
-                # (BASELINE.md's north-star eval; other datasets fall into one
-                # bucket named after the sequence prefix).
-                chal = seq.split("/")[0] if "/" in seq else seq
-                c_iou, c_f, c_n = per_challenge.get(chal, (0.0, 0.0, 0))
-                per_challenge[chal] = (c_iou + iou, c_f + fm, c_n + 1)
+                _tally(batch, idx, iou, fm)
                 if output_img_dir:
+                    seq, fid = batch["seq_name"][idx], batch["frame_index"][idx]
                     save_dir = os.path.join(output_img_dir, seq)
                     os.makedirs(save_dir, exist_ok=True)
                     # Grayscale PNG per frame (reference contract,
@@ -386,8 +557,10 @@ class EvalSession:
                   "per_challenge": {}, "fps": None, "steady_fps": None, "p50_ms": None}
         if pooled:
             result["pool"] = {"uploads": pool.misses, "hits": pool.hits,
+                              "d2d_moves": pool.moves,
                               "resident_mb": round(pool.used / 1e6, 1)}
-            logger.write(f"frame pool: {pool.misses} uploads, {pool.hits} hits "
+            logger.write(f"frame pool: {pool.misses} uploads, {pool.hits} hits, "
+                         f"{pool.moves} d2d moves "
                          f"({pool.used / 1e6:.0f} MB resident)\n")
         if iou_counter:
             if len(per_challenge) > 1:

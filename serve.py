@@ -41,7 +41,12 @@ def get_arguments():
                    help="uint8 staging + on-device resize/mean-sub (sbmrgbd only).")
     p.add_argument("--frame-pool", type=float, default=0, metavar="MB",
                    help="Device-resident frame pool budget in MB (see test.py "
-                        "--frame-pool; requires --device-preprocess, single device).")
+                        "--frame-pool; requires --device-preprocess; composes "
+                        "with --data-parallel via per-shard device stacks).")
+    p.add_argument("--device-metrics", action="store_true",
+                   help="Score on device via bit-exact integer counters (see "
+                        "test.py --device-metrics); 24 bytes/frame D2H instead "
+                        "of the mask. Incompatible with --save_seg_img/--use_crf.")
     p.add_argument("--per-challenge", action="store_true",
                    help="One job per challenge of the sbmrgbd subset "
                         "(the reference's per-subset sweep, served resident).")
@@ -57,6 +62,18 @@ def get_arguments():
 def main():
     args = get_arguments()
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    if os.environ.get("COSNET_CPU_DEVICES"):
+        # Same in-process CPU forcing as train.py/test.py: the ambient
+        # sitecustomize rewrites XLA_FLAGS/JAX_PLATFORMS at interpreter
+        # startup, so the override must go through jax.config here.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={os.environ['COSNET_CPU_DEVICES']}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
@@ -142,6 +159,7 @@ def main():
             output_img_dir=out_dir,
             frame_pool_mb=args.frame_pool,
             print_progress=False,
+            device_metrics=args.device_metrics,
         )
         res["wall_s"] = round(time.time() - t0, 2)
         summary["jobs"][name] = res

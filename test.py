@@ -73,16 +73,38 @@ def get_arguments():
                              "tests/test_device_preprocess.py. sbmrgbd only.")
     parser.add_argument("--frame-pool", type=float, default=0, metavar="MB",
                         help="Device-resident frame pool budget in MB (requires "
-                             "--device-preprocess, single device). The eval protocol "
-                             "revisits every frame ~sample_range extra times as a "
-                             "counterpart; the pool ships each unique frame over the "
-                             "wire ONCE and builds the batch stack on device.")
+                             "--device-preprocess). The eval protocol revisits every "
+                             "frame ~sample_range extra times as a counterpart; the "
+                             "pool ships each unique frame over the wire ONCE and "
+                             "builds the batch stack on device. Composes with "
+                             "--data-parallel: per-shard on-device stacks, cross-"
+                             "device revisits move over ICI, never the host wire.")
+    parser.add_argument("--device-metrics", action="store_true",
+                        help="Score on device: the soft-IoU/F-measure reduce to six "
+                             "integer counters computed inside the jit (bit-exact, "
+                             "eval/metrics.py) — 24 bytes/frame cross the wire instead "
+                             "of the 0.4 MB mask. Requires output_WH == model size; "
+                             "incompatible with --use_crf and --save_seg_img (the "
+                             "host never sees masks).")
     return parser.parse_args()
 
 
 def main():
     args = get_arguments()
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    if os.environ.get("COSNET_CPU_DEVICES"):
+        # Force an N-device virtual CPU platform (CPU-host drives / CI).
+        # Must be applied HERE via jax.config, not env: the ambient
+        # sitecustomize rewrites XLA_FLAGS/JAX_PLATFORMS during interpreter
+        # startup (same rationale as train.py's block).
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={os.environ['COSNET_CPU_DEVICES']}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
@@ -161,6 +183,7 @@ def main():
         output_img_dir=output_img_dir,
         no_prefetch=args.no_prefetch,
         frame_pool_mb=args.frame_pool,
+        device_metrics=args.device_metrics,
     )
     logger.close()
 

@@ -26,13 +26,14 @@ def tree(tmp_path_factory):
     return root
 
 
-def _run_raw(tree, tmpdir, tag, pool_mb, batch_size=5):
+def _run_raw(tree, tmpdir, tag, pool_mb, batch_size=5, data_parallel=False):
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
 
     ds_cfg = DatasetCfg(name="sbmrgbd", data_path=tree, sample_range=1,
                         image_HW_4_model=(32, 48), output_WH=(48, 32),
                         subset=None)
-    session = EvalSession("resnet_aspp_add", coattention_backend="einsum")
+    session = EvalSession("resnet_aspp_add", coattention_backend="einsum",
+                          data_parallel=data_parallel)
     # keep_remainder + batch 5 on 16 frames -> a short trailing batch, which
     # the pooled staging pads by repeating device buffer refs (free)
     db = build_test_dataset("sbmrgbd", ds_cfg, batch_size=batch_size,
@@ -71,6 +72,30 @@ def test_pool_eviction_stays_correct(tree, tiny_model, tmp_path):
     assert tiny_lines == raw_lines
     assert tiny["pool"]["uploads"] > 16  # evictions forced re-uploads
     assert tiny["pool"]["resident_mb"] <= 0.04
+
+
+def test_pooled_data_parallel_matches_raw(tree, tiny_model, tmp_path):
+    """--frame-pool composed with --data-parallel: per-row frames resolve to
+    pool buffers on their shard's device, per-device stacks assemble into the
+    sharded global batch zero-copy (runner.py::stage_pooled_dp), and the
+    already-compiled sharded raw executable consumes it. Each unique frame
+    must still cross the host wire exactly once; cross-device revisits move
+    device-to-device. Results must match the raw DP path bit-exactly."""
+    raw, raw_lines = _run_raw(tree, str(tmp_path), "dp_raw", pool_mb=0,
+                              data_parallel=True)
+    pooled, pooled_lines = _run_raw(tree, str(tmp_path), "dp_pool", pool_mb=64,
+                                    data_parallel=True)
+    assert pooled["frames"] == raw["frames"] == 16
+    assert pooled_lines == raw_lines
+    assert pooled["iou"] == raw["iou"]
+    assert pooled["f_measure"] == raw["f_measure"]
+    stats = pooled["pool"]
+    # host wire: each of the 16 unique frames uploads exactly once; every
+    # other resolution (counterpart revisits + pad rows) is a device hit or
+    # a d2d move. batch 5 on the 8-device mesh pads to 8 rows/batch:
+    # 4 batches x 8 rows x 2 slots (target + 1 counterpart) = 64 lookups.
+    assert stats["uploads"] == 16
+    assert stats["hits"] + stats["d2d_moves"] == 64 - 16
 
 
 def test_pool_requires_raw_mode(tree, tiny_model, tmp_path):
