@@ -87,7 +87,15 @@ def _run_driver(tree, workdir, monkeypatch, pipeline_flag):
         "--gpus", "0,1", "--random-seed", "7",
     ])
 
-    import train as train_driver
+    # Import the REPO's train.py by explicit path: golden-parity tests put
+    # /root/reference first on sys.path, where a same-named train.py would
+    # shadow `import train` (and its import-time yaml.load crashes).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cosnet_repo_train_driver", os.path.join(REPO, "train.py"))
+    train_driver = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_driver)
     import io
     import contextlib
 
