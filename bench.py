@@ -223,6 +223,23 @@ def measure_end_to_end(dtype_name: str, batch: int = 8, extra_args=()):
     return None
 
 
+def backend_alive(timeout_s: int = 240) -> bool:
+    """Probe TPU backend init in a THROWAWAY subprocess with a hard timeout.
+
+    The tunneled axon relay can be down for hours (observed 2026-08-18);
+    backend init then polls forever in-process (uninterruptible from Python
+    signal handlers — the wait lives in C). Probing in a subprocess keeps
+    bench.py itself from hanging so a dead tunnel degrades to a
+    self-describing JSON line instead of a stalled driver run."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=10)
@@ -234,6 +251,18 @@ def main():
     parser.add_argument("--skip-int8", action="store_true")
     parser.add_argument("--skip-end-to-end", action="store_true")
     args = parser.parse_args()
+
+    if not backend_alive():
+        print(json.dumps({
+            "metric": f"raa_inference_frames_per_sec_per_chip_480x854_batch{args.batch}_{args.dtype}",
+            "value": None,
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "error": "TPU backend unavailable (axon relay down; init probe "
+                     "timed out in a subprocess). Device numbers from the "
+                     "last healthy session are in docs/PERF_r3.md.",
+        }))
+        return
 
     base = baseline_fps(args.measure_baseline)
     fps = measure_tpu(args.iters, args.batch, args.backend, args.dtype)
