@@ -39,17 +39,21 @@ def timed_run(workdir, pipelined):
     cmd = [sys.executable, os.path.join(REPO, "train.py"), "--dataset", "sbmrgbd",
            "--model", "raa", "--dtype", "bfloat16", "--random-seed", "7"]
     print("+", ("PIPELINE=1" if pipelined else "PIPELINE=0"), " ".join(cmd), flush=True)
-    proc = subprocess.Popen(cmd, cwd=workdir, env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True, bufsize=1)
-    stamped = []  # (t, epoch, line)
-    for line in proc.stdout:
-        m = re.match(r"===> Epoch\[(\d+)\]", line)
-        if m:
-            stamped.append((time.monotonic(), int(m.group(1)), line.strip()))
-    proc.wait()
-    if proc.returncode != 0:
-        sys.stderr.write(proc.stderr.read()[-4000:])
-        sys.exit(f"train.py failed ({proc.returncode})")
+    # stderr goes to a FILE: stderr=PIPE would deadlock once jax/absl
+    # warnings exceed the pipe buffer while we read stdout line-by-line.
+    with open(os.path.join(workdir, "stderr.log"), "w+") as errf:
+        proc = subprocess.Popen(cmd, cwd=workdir, env=env, stdout=subprocess.PIPE,
+                                stderr=errf, text=True, bufsize=1)
+        stamped = []  # (t, epoch, line)
+        for line in proc.stdout:
+            m = re.match(r"===> Epoch\[(\d+)\]", line)
+            if m:
+                stamped.append((time.monotonic(), int(m.group(1)), line.strip()))
+        proc.wait()
+        if proc.returncode != 0:
+            errf.seek(0)
+            sys.stderr.write(errf.read()[-4000:])
+            sys.exit(f"train.py failed ({proc.returncode})")
     per_epoch = {}
     for t, e, _ in stamped:
         per_epoch.setdefault(e, []).append(t)
@@ -58,6 +62,9 @@ def timed_run(workdir, pipelined):
         if e == 0 or len(ts) < 2:  # epoch 0 pays the compile-cache load
             continue
         gaps_ms.append((ts[-1] - ts[0]) / (len(ts) - 1) * 1e3)
+    if not gaps_ms:
+        sys.exit("no steady epochs to time: need --epochs >= 2 and >= 2 "
+                 f"steps/epoch (got {len(stamped)} Epoch lines)")
     losses = [l for _, _, l in stamped]
     return sum(gaps_ms) / len(gaps_ms), losses
 
@@ -68,6 +75,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "evidence",
                                                   "TRAIN_PIPELINE_r03.json"))
     args = ap.parse_args()
+    if args.epochs < 2:
+        sys.exit("--epochs must be >= 2: epoch 0 is warmup (compile-cache "
+                 "load), timing needs at least one steady epoch")
 
     tree = "/tmp/cosnet_bench_sbm"
     if not os.path.isdir(os.path.join(tree, "Bootstrapping")):

@@ -63,17 +63,9 @@ def main():
     args = get_arguments()
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
 
-    if os.environ.get("COSNET_CPU_DEVICES"):
-        # Same in-process CPU forcing as train.py/test.py: the ambient
-        # sitecustomize rewrites XLA_FLAGS/JAX_PLATFORMS at interpreter
-        # startup, so the override must go through jax.config here.
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={os.environ['COSNET_CPU_DEVICES']}"
-        ).strip()
-        import jax
+    from cosnet_tpu.utils.platform import force_cpu_devices_from_env
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_devices_from_env()  # COSNET_CPU_DEVICES=N: CPU-host drives / CI
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset

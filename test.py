@@ -32,7 +32,11 @@ def get_arguments():
                              "but its pydensecrf path is commented out (test.py:38-39,76) "
                              "— default off preserves its actual output behavior; pass "
                              "true/1/yes/crf to enable the real thing.")
-    parser.add_argument("--save_seg_img", default="True")
+    # None sentinel: defaults to "True" (the reference behavior) unless
+    # --device-metrics is given, which needs PNG output off and should work
+    # as a bare flag; an EXPLICIT truthy --save_seg_img + --device-metrics
+    # still fails fast below.
+    parser.add_argument("--save_seg_img", default=None)
     parser.add_argument("--sample_range", default=5)
     parser.add_argument("--epoches", default=0)
     parser.add_argument("--batch_size", default=0, type=int)
@@ -91,20 +95,13 @@ def get_arguments():
 
 def main():
     args = get_arguments()
+    if args.save_seg_img is None:  # resolve the sentinel before args are logged
+        args.save_seg_img = "" if args.device_metrics else "True"
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
 
-    if os.environ.get("COSNET_CPU_DEVICES"):
-        # Force an N-device virtual CPU platform (CPU-host drives / CI).
-        # Must be applied HERE via jax.config, not env: the ambient
-        # sitecustomize rewrites XLA_FLAGS/JAX_PLATFORMS during interpreter
-        # startup (same rationale as train.py's block).
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={os.environ['COSNET_CPU_DEVICES']}"
-        ).strip()
-        import jax
+    from cosnet_tpu.utils.platform import force_cpu_devices_from_env
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_devices_from_env()  # COSNET_CPU_DEVICES=N: CPU-host drives / CI
 
     from cosnet_tpu import config as cfg
     from cosnet_tpu.eval.runner import EvalSession, build_test_dataset

@@ -80,12 +80,13 @@ def get_arguments():
                              "disabled there; opt-in here) and log flagged frames.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
-    parser.add_argument("--decode-cache-mb", type=float, default=512,
+    parser.add_argument("--decode-cache-mb", type=float, default=None,
                         help="Host RAM budget (MB) for the decoded-frame LRU. "
                              "Training decodes each frame once per epoch, so the "
                              "cache pays only across epochs — bounded at a modest "
-                             "default rather than the eval loop's 2048 MB "
-                             "(eval revisits frames within one pass). 0 disables.")
+                             "512 MB default rather than the eval loop's 2048 MB "
+                             "(eval revisits frames within one pass). 0 disables. "
+                             "Precedence: this flag > COSNET_DECODE_CACHE_MB > 512.")
     parser.add_argument("--context-parallel", default="", choices=["", "ring", "ulysses"],
                         help="Shard the co-attention's spatial tokens over the mesh for "
                              "TRAINING (ring: chunks rotate over ICI with online-softmax "
@@ -117,19 +118,11 @@ def main():
     ymd_hms = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     print("Training starts at ", ymd_hms)
 
-    if os.environ.get("COSNET_CPU_DEVICES"):
-        # Force an N-device virtual CPU platform (driver dryruns / the
-        # 2-process scripts/run_multiprocess.py harness). Must be set HERE,
-        # not via env XLA_FLAGS: the ambient sitecustomize rewrites XLA_FLAGS
-        # during interpreter startup, but the backend only reads it at first
-        # initialization — which hasn't happened yet.
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={os.environ['COSNET_CPU_DEVICES']}"
-        ).strip()
-        import jax
+    from cosnet_tpu.utils.platform import force_cpu_devices_from_env
 
-        jax.config.update("jax_platforms", "cpu")
+    # COSNET_CPU_DEVICES=N: driver dryruns / the 2-process
+    # scripts/run_multiprocess.py harness / CPU-host drives.
+    force_cpu_devices_from_env()
 
     import jax
     import jax.numpy as jnp
@@ -235,7 +228,10 @@ def main():
         batch_size=ds_cfg.batch_size,
         seed=args.random_seed,
         augment_on_host=not args.device_augment,
-        decode_cache_mb=args.decode_cache_mb,
+        # flag > COSNET_DECODE_CACHE_MB (consulted by budget_from_env when
+        # this is None) > the 512 MB training default
+        decode_cache_mb=args.decode_cache_mb if args.decode_cache_mb is not None
+        else (None if os.environ.get("COSNET_DECODE_CACHE_MB") else 512.0),
     )
     debug_dir = osp.join(snapshot_dir, "debug") if args.debug_images else None
     if args.dataset == "sbmrgbd":
@@ -363,9 +359,12 @@ def main():
             # computing step k+1. Step k's full log block — the " Start
             # batch" HBM line (sampled pre-dispatch), " After step" line,
             # and the Epoch loss line — is buffered and emitted when its
-            # loss materializes, so log-line order and content are
-            # byte-identical to the serial loop. COSNET_TRAIN_PIPELINE=0
-            # restores the serial loop (A/B measurement).
+            # loss materializes: loss/lr values and log-line ORDER are
+            # byte-identical to the serial loop (pinned by
+            # tests/test_train_driver.py); the HBM lines keep their slots
+            # but report whatever the device holds at their sampling
+            # moment, which legitimately differs once steps overlap.
+            # COSNET_TRAIN_PIPELINE=0 restores the serial loop (A/B).
             pipelined = os.environ.get("COSNET_TRAIN_PIPELINE", "1") != "0"
             pending = None  # (i_iter, lr, device loss handle, start-batch HBM line)
 
