@@ -78,8 +78,11 @@ def main():
                          "frames batched through one co-attention) instead of "
                          "the plain pair forward")
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--quantize", default="", choices=["", "int8"],
-                    help="int8 trunk/ASPP convs (nn/quant.py)")
+    ap.add_argument("--quantize", default="", choices=["", "int8", "int8-static"],
+                    help="int8 trunk/ASPP convs (nn/quant.py); int8-static "
+                         "calibrates activation scales on the profile inputs "
+                         "first, so the requantize folds into the conv/BN/"
+                         "ReLU epilogues (the residual-stream-int8 form)")
     ap.add_argument("--quantize-min-ci", type=int, default=0,
                     help="quantize only convs with >= this many input channels")
     ap.add_argument("--keep-trace", default="", help="directory to keep the trace in")
@@ -88,7 +91,7 @@ def main():
     from cosnet_tpu.models import create_model, init_variables
     from cosnet_tpu.utils.device import device_materialize
 
-    if args.quantize == "int8":
+    if args.quantize:
         from cosnet_tpu.nn.quant import enable_int8
 
         enable_int8(min_in_channels=args.quantize_min_ci)
@@ -102,6 +105,13 @@ def main():
     rng = np.random.default_rng(0)
     imgs = [jnp.asarray(rng.standard_normal((args.batch, h, w, c), dtype=np.float32))
             for c in (3, 3, 1, 1)]
+
+    if args.quantize == "int8-static":
+        from cosnet_tpu.nn import quant
+
+        amax = quant.collect_amax(model, variables, tuple(imgs), train=False)
+        quant.enable_int8(min_in_channels=args.quantize_min_ci, static_amax=amax)
+        print(f"calibrated {len(amax)} conv sites (static int8 scales)")
 
     if args.multiref:
         from cosnet_tpu.eval.infer import build_multi_reference_forward

@@ -69,11 +69,21 @@ def timed_run(workdir, pipelined):
     return sum(gaps_ms) / len(gaps_ms), losses
 
 
+def host_load() -> float:
+    """1-minute loadavg — recorded with the evidence so a contended capture
+    (round 3's TRAIN_PIPELINE_r03.json was taken alongside other load and
+    measured the pipeline 1.9x slower) is self-identifying."""
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--pairs", type=int, default=3,
+                    help="ABBA blocks; 3 pairs = 6 serial + 6 pipelined runs")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "evidence",
-                                                  "TRAIN_PIPELINE_r03.json"))
+                                                  "TRAIN_PIPELINE_r04.json"))
     args = ap.parse_args()
     if args.epochs < 2:
         sys.exit("--epochs must be >= 2: epoch 0 is warmup (compile-cache "
@@ -99,11 +109,13 @@ def main():
     t["checkpoint_file"] = False
 
     results = {"serial": [], "pipelined": []}
+    loads = []
     loss_seqs = []
-    for pipelined in (False, True, True, False):  # ABBA
+    for pipelined in (False, True, True, False) * args.pairs:  # interleaved ABBA blocks
         workdir = tempfile.mkdtemp(prefix="cosnet_trainab_")
         with open(os.path.join(workdir, "config.yaml"), "w") as f:
             yaml.safe_dump(config, f)
+        loads.append(host_load())
         ms, losses = timed_run(workdir, pipelined)
         results["pipelined" if pipelined else "serial"].append(round(ms, 2))
         loss_seqs.append(losses)
@@ -111,14 +123,21 @@ def main():
 
     assert all(s == loss_seqs[0] for s in loss_seqs[1:]), \
         "loss/lr sequences differ across runs"
-    mean = lambda xs: sum(xs) / len(xs)
+    median = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else \
+        sum(sorted(xs)[len(xs) // 2 - 1:len(xs) // 2 + 1]) / 2
     report = {
-        "config": "sbmrgbd 240x320 batch4 bf16, synthetic bench tree, ABBA",
+        "config": "sbmrgbd 240x320 batch4 bf16, synthetic bench tree, "
+                  f"{args.pairs}x ABBA ({2 * args.pairs} runs/arm), median",
         "serial_ms_per_step": results["serial"],
         "pipelined_ms_per_step": results["pipelined"],
-        "serial_mean_ms": round(mean(results["serial"]), 2),
-        "pipelined_mean_ms": round(mean(results["pipelined"]), 2),
-        "speedup": round(mean(results["serial"]) / mean(results["pipelined"]), 4),
+        "serial_median_ms": round(median(results["serial"]), 2),
+        "serial_min_max_ms": [min(results["serial"]), max(results["serial"])],
+        "pipelined_median_ms": round(median(results["pipelined"]), 2),
+        "pipelined_min_max_ms": [min(results["pipelined"]), max(results["pipelined"])],
+        "speedup": round(median(results["serial"]) / median(results["pipelined"]), 4),
+        "arms_overlap": min(results["serial"]) <= max(results["pipelined"])
+                        and min(results["pipelined"]) <= max(results["serial"]),
+        "host_loadavg_per_run": loads,
         "loss_sequences_identical": True,
         "epoch_lines_per_run": len(loss_seqs[0]),
     }

@@ -95,6 +95,13 @@ class EvalSession:
             load_pth, merge_variables, state_dict_to_variables,
         )
 
+        t0 = time.time()
+        self.init_breakdown = {}  # stage -> seconds (serve cold-start triage)
+
+        def _mark(stage):
+            self.init_breakdown[stage] = round(time.time() - t0 - sum(
+                self.init_breakdown.values()), 2)
+
         self.full_name = full_name
         self.model = create_model(full_name, coattention_backend=coattention_backend,
                                   dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
@@ -106,6 +113,7 @@ class EvalSession:
         self.stage_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
         self.n_inputs = model_input_signature(full_name)
         variables = init_variables(self.model, self.n_inputs)
+        _mark("init_variables")
         self.pretrained_loaded = bool(pretrained and os.path.isfile(pretrained))
         if self.pretrained_loaded:
             sd = load_pth(pretrained)
@@ -114,7 +122,9 @@ class EvalSession:
                 "params": merge_variables(variables["params"], imported["params"]),
                 "batch_stats": merge_variables(variables["batch_stats"], imported["batch_stats"]),
             }
+            _mark("load_pth")
         variables = device_materialize(jax.tree.map(jnp.asarray, variables))
+        _mark("weight_upload")
 
         self.mesh = None
         if data_parallel:

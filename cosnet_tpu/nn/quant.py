@@ -36,24 +36,36 @@ import jax.numpy as jnp
 
 _INT8 = False
 _MIN_IN_CHANNELS = 0
+_STATIC_AMAX: dict = {}  # conv site path -> calibrated activation max|x|
 
 
-def enable_int8(min_in_channels: int = 0):
+def enable_int8(min_in_channels: int = 0, static_amax: dict = None):
     """``min_in_channels``: quantize only convs at least this wide on the
     input-channel axis. Full-model measurement (docs/PERF_r3.md): blanket
     int8 wins just 7% — every conv input pays a quantize pass (an extra
     elementwise read+write), which on the narrow HBM-bound convs costs what
     the MXU saves. The wide convs (2048/1024-ch ASPP + layer3/4 entries)
     are where int8's 1.5-1.7x is net-positive, and the ASPP branches share
-    one quantized input (XLA CSEs the identical quantize chains)."""
-    global _INT8, _MIN_IN_CHANNELS
+    one quantized input (XLA CSEs the identical quantize chains).
+
+    ``static_amax`` (from :func:`collect_amax`): per-site CALIBRATED
+    activation ranges. With a static scale the quantize is a pure
+    elementwise chain — no max-reduction over the producer's output — so
+    XLA fuses it into the producing conv/BN/ReLU epilogue and the
+    activation crosses HBM as int8 (the "residual stream int8" form:
+    requantization folded into the epilogues, the dynamic path's extra
+    read+write per conv input gone). That removes the narrow-conv
+    overhead, so ``min_in_channels`` can drop to cover the whole trunk."""
+    global _INT8, _MIN_IN_CHANNELS, _STATIC_AMAX
     _INT8 = True
     _MIN_IN_CHANNELS = min_in_channels
+    _STATIC_AMAX = dict(static_amax or {})
 
 
 def disable_int8():
-    global _INT8
+    global _INT8, _STATIC_AMAX
     _INT8 = False
+    _STATIC_AMAX = {}
 
 
 def int8_enabled() -> bool:
@@ -62,6 +74,49 @@ def int8_enabled() -> bool:
 
 def min_in_channels() -> int:
     return _MIN_IN_CHANNELS
+
+
+def static_amax() -> dict:
+    return _STATIC_AMAX
+
+
+def amax_headroom() -> float:
+    """Safety margin on calibrated ranges: activations on frames beyond the
+    calibration batch may exceed its max|x|; values past the range clip to
+    ±127 (symmetric clip — graceful, but headroom delays it). Gated end to
+    end by the mask-agreement fingerprint drives."""
+    import os
+
+    return float(os.environ.get("COSNET_INT8_HEADROOM", "1.1"))
+
+
+def collect_amax(model, variables, inputs: tuple, **apply_kwargs) -> dict:
+    """One calibration forward: run the model with the ``quant_stats``
+    collection mutable (dynamic-int8 mode must be enabled) and return
+    ``{site_path: max|activation|}`` for every quantized conv input site.
+
+    Feed it a REPRESENTATIVE batch (e.g. the eval loop's first preprocessed
+    batch): the scales it yields are baked into the traced graph as
+    constants by :func:`enable_int8`'s ``static_amax``."""
+    import jax
+
+    @jax.jit
+    def run(v, *ins):
+        _, stats = model.apply(v, *ins, mutable=["quant_stats"], **apply_kwargs)
+        return stats["quant_stats"]
+
+    stats = jax.device_get(run(variables, *inputs))
+    flat = {}
+
+    def walk(prefix, node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(prefix + [k], v)
+            elif k == "amax":
+                flat["/".join(prefix)] = float(jnp.asarray(v).max())
+
+    walk([], stats)
+    return flat
 
 
 class QuantConv(nn.Module):
@@ -102,9 +157,24 @@ class QuantConv(nn.Module):
         # per-output-channel symmetric weight scale
         w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
         kq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
-        # per-tensor dynamic activation scale
         x_f = x.astype(jnp.float32)
-        x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-12) / 127.0
+        site = "/".join(self.scope.path)
+        amax = _STATIC_AMAX.get(site)
+        if amax is not None:
+            # Static calibrated scale: the quantize below is pure
+            # elementwise, so XLA fuses it into the producer's epilogue and
+            # this conv's input streams through HBM as int8.
+            x_scale = max(amax, 1e-12) * amax_headroom() / 127.0
+        else:
+            # Dynamic per-tensor scale — one max-reduction over the input
+            # per call. Sown so a calibration pass (collect_amax) can
+            # harvest the observed range for the static path.
+            amax_dyn = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-12)
+            if not self.is_initializing():  # keep init param trees identical
+                self.sow("quant_stats", "amax", amax_dyn,
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
+            x_scale = amax_dyn / 127.0
         xq = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
         acc = jax.lax.conv_general_dilated(

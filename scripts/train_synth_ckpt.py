@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Train a shared synthetic-tree checkpoint for numerics-gate drives.
+
+VERDICT r3 weak #6: the fresh-init fingerprint gates are partially blind —
+untrained weights saturate the final sigmoid, so f32/bf16/int8 fingerprints
+come out bitwise identical and detect only pipeline bugs, not numeric
+drift. A few epochs on the synthetic tree (the round-2 learning proof)
+de-saturate the masks; every mode drive (int8, --device-preprocess,
+--frame-pool, --device-metrics, CRF tuning) then scores against THIS
+checkpoint so its gate can actually move.
+
+Idempotent: reuses ``/tmp/cosnet_r4_ckpt/snapshot.pth`` when present.
+Prints the checkpoint path on the last stdout line.
+
+Usage: python scripts/train_synth_ckpt.py [--epochs 4] [--force]
+"""
+import argparse
+import glob
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT_DIR = "/tmp/cosnet_r4_ckpt"
+CKPT = os.path.join(CKPT_DIR, "snapshot.pth")
+
+
+def ensure_checkpoint(epochs: int = 4, force: bool = False) -> str:
+    if os.path.isfile(CKPT) and not force:
+        return CKPT
+    tree = "/tmp/cosnet_bench_sbm"
+    if not os.path.isdir(os.path.join(tree, "Bootstrapping")):
+        sys.path.insert(0, REPO)
+        from bench import _build_synthetic_tree
+
+        os.makedirs(tree, exist_ok=True)
+        _build_synthetic_tree(tree)
+
+    with open(os.path.join(REPO, "config.yaml")) as f:
+        config = yaml.safe_load(f)
+    t = config["train"]["dataset"]["sbmrgbd"]
+    t["data_path"] = tree
+    t["batch_size"] = 4
+    t["max_epoches"] = epochs
+    t["output_HW"] = "240,320"
+    t["subset"] = None
+    t["checkpoint_file"] = False
+    workdir = tempfile.mkdtemp(prefix="cosnet_ckpt_train_")
+    with open(os.path.join(workdir, "config.yaml"), "w") as f:
+        yaml.safe_dump(config, f)
+    existing = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:{existing}" if existing else REPO)
+    cmd = [sys.executable, os.path.join(REPO, "train.py"), "--dataset", "sbmrgbd",
+           "--model", "raa", "--dtype", "bfloat16", "--random-seed", "7"]
+    print("+", " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True,
+                          text=True, timeout=7200)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:])
+        sys.exit(f"train.py failed ({proc.returncode})")
+    pths = sorted(glob.glob(os.path.join(
+        workdir, "snapshots", "sbmrgbd", "resnet_aspp_add", "*", "*", "snapshot_*.pth")))
+    assert pths, "training produced no .pth snapshot"
+    os.makedirs(CKPT_DIR, exist_ok=True)
+    shutil.copy(pths[-1], CKPT)
+    return CKPT
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    print(ensure_checkpoint(args.epochs, args.force))

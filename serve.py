@@ -126,7 +126,9 @@ def main():
 
     apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
     summary = {"model": full_name, "dtype": args.dtype, "init_s": round(init_s, 2),
+               "init_breakdown_s": session.init_breakdown,
                "data_parallel": bool(session.mesh is not None), "jobs": {}}
+    print(f"=====> session init {init_s:.1f} s  {session.init_breakdown}")
     for name, dataset, ds_cfg, davis_subset_file in jobs:
         print(f"=====> job {name}: {len(ds_cfg.subset or {})} sequences"
               if ds_cfg.subset else f"=====> job {name}")

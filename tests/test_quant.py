@@ -82,6 +82,57 @@ def test_quantconv_matches_f32_conv_closely():
     assert np.abs(y - yq).max() / denom < 0.02
 
 
+def test_int8_static_scales_match_dynamic():
+    """Static calibrated scales (the residual-stream form: requantize folded
+    into the producer epilogue) must agree with the dynamic path when
+    calibrated on the same batch — the only difference is the headroom
+    factor on the scale, a sub-LSB perturbation at 8 bits."""
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+
+    quant.enable_int8()
+    try:
+        amax = quant.collect_amax(model, variables, (a, b, da, db), train=False)
+        assert amax and all(v >= 0 for v in amax.values())
+        x_dyn, _, _ = _tiny().apply(variables, a, b, da, db, train=False)
+        quant.enable_int8(static_amax=amax)
+        x_sta, _, _ = _tiny().apply(variables, a, b, da, db, train=False)
+    finally:
+        quant.disable_int8()
+    m_dyn = (np.asarray(x_dyn) * 255).astype(np.uint8)
+    m_sta = (np.asarray(x_sta) * 255).astype(np.uint8)
+    close = np.mean(np.abs(m_dyn.astype(np.int16) - m_sta.astype(np.int16)) <= 2)
+    assert close > 0.99, close
+
+
+def test_int8_static_drops_activation_max_reduce():
+    """The point of static scales: the traced graph must contain NO
+    max-reduction over the conv INPUT activations (weight-scale reductions
+    remain). Count reduce ops: static mode should have roughly half the
+    dynamic mode's (one per conv for weights instead of two)."""
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+
+    def n_reduce_max(text):
+        return text.count("stablehlo.maximum") + text.count("reduce")
+
+    def lower_text():
+        f = jax.jit(lambda v, w, x, y, z: _tiny().apply(v, w, x, y, z, train=False)[0])
+        return f.lower(variables, a, b, da, db).as_text()
+
+    quant.enable_int8()
+    try:
+        amax = quant.collect_amax(model, variables, (a, b, da, db), train=False)
+        dyn = lower_text()
+        quant.enable_int8(static_amax=amax)
+        sta = lower_text()
+    finally:
+        quant.disable_int8()
+    assert n_reduce_max(sta) < n_reduce_max(dyn)
+
+
 def test_enable_int8_swaps_convs_in_traced_graph():
     """The trace-time switch must actually reach the built graph — the mask
     agreement gate above passes trivially if the swap silently broke (on a
