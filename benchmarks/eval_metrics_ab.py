@@ -60,19 +60,29 @@ def timed_run(tree, device_metrics):
     return float(steady.group(1)), float(steady.group(2)), final_iou.group(1)
 
 
+def host_load() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/cosnet_sweep_tree")
+    ap.add_argument("--pairs", type=int, default=3,
+                    help="ABBA blocks; 3 blocks = 6 runs per arm (the "
+                         "median-of->=5 protocol — round 3's 2-runs-per-arm "
+                         "capture had a 17x same-arm spread)")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "evidence",
-                                                  "DEVICE_METRICS_r03.json"))
+                                                  "DEVICE_METRICS_r04.json"))
     args = ap.parse_args()
 
     from make_sweep_tree import build
 
     build(args.root)
     results = {"host": [], "device_metrics": []}
-    fingerprints = []
-    for dm in (False, True, True, False):  # ABBA
+    fingerprints, loads = [], []
+    for dm in (False, True, True, False) * args.pairs:  # interleaved ABBA
+        loads.append(host_load())
         fps, p50, iou = timed_run(args.root, dm)
         results["device_metrics" if dm else "host"].append(
             {"steady_fps": fps, "p50_ms": p50})
@@ -80,20 +90,27 @@ def main():
         print(f"  -> {fps} fps, p50 {p50} ms, meanIoU {iou}", flush=True)
     assert all(f == fingerprints[0] for f in fingerprints), fingerprints
 
-    mean = lambda xs: sum(xs) / len(xs)
+    median = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else \
+        sum(sorted(xs)[len(xs) // 2 - 1:len(xs) // 2 + 1]) / 2
+    host_fps = [r["steady_fps"] for r in results["host"]]
+    dm_fps = [r["steady_fps"] for r in results["device_metrics"]]
     report = {
         "config": "153-frame sweep tree, batch 8 bf16, device-preprocess + "
-                  "frame-pool 256, ABBA order",
+                  f"frame-pool 256, {args.pairs}x ABBA "
+                  f"({2 * args.pairs} runs/arm), median",
         "host": results["host"],
         "device_metrics": results["device_metrics"],
-        "host_mean_fps": round(mean([r["steady_fps"] for r in results["host"]]), 2),
-        "device_metrics_mean_fps": round(
-            mean([r["steady_fps"] for r in results["device_metrics"]]), 2),
+        "host_median_fps": round(median(host_fps), 2),
+        "host_min_max_fps": [min(host_fps), max(host_fps)],
+        "device_metrics_median_fps": round(median(dm_fps), 2),
+        "device_metrics_min_max_fps": [min(dm_fps), max(dm_fps)],
+        "arms_overlap": min(dm_fps) <= max(host_fps) and min(host_fps) <= max(dm_fps),
+        "host_loadavg_per_run": loads,
         "mean_iou_fingerprint": fingerprints[0],
         "fingerprints_identical": True,
     }
     report["speedup"] = round(
-        report["device_metrics_mean_fps"] / report["host_mean_fps"], 4)
+        report["device_metrics_median_fps"] / report["host_median_fps"], 4)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

@@ -608,6 +608,39 @@ class EvalSession:
         return result
 
 
+def calibrate_static_int8(session: EvalSession, db_calib, batch_size: int) -> dict:
+    """Calibrate static int8 activation scales on the FIRST host-path batch.
+
+    Runs one forward with the ``quant_stats`` collection mutable
+    (nn/quant.py::collect_amax) over the first preprocessed batch of
+    ``db_calib`` (must be a float/host-path dataset — raw uint8 staging
+    happens inside a different graph) and re-enables int8 with the
+    collected ranges baked in as constants. Every forward the session
+    builds afterwards traces with static scales: the requantize folds into
+    the producer epilogues and activations stream between convs as int8.
+
+    One extra full-model compile (cached in .jax_cache) + one forward is
+    the entire calibration cost."""
+    import jax.numpy as jnp
+
+    from cosnet_tpu.data import BatchLoader
+    from cosnet_tpu.nn import quant
+
+    assert quant.int8_enabled(), "enable_int8 first (dynamic mode) so the calibration trace sows"
+    batch = next(iter(BatchLoader(db_calib, batch_size=batch_size,
+                                  shuffle=False, drop_last=False)))
+    a = jnp.asarray(batch["target"])
+    b = jnp.asarray(batch["search_0"])
+    inputs = (a, b)
+    if session.n_inputs >= 3:
+        inputs += (jnp.asarray(batch["target_depth"]),)
+    if session.n_inputs == 4:
+        inputs += (jnp.asarray(batch["search_0_depth"]),)
+    amax = quant.collect_amax(session.model, session.variables, inputs, train=False)
+    quant.enable_int8(min_in_channels=quant.min_in_channels(), static_amax=amax)
+    return amax
+
+
 def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
                        davis_subset_file: Optional[str] = None,
                        decode_cache_mb: Optional[float] = None,

@@ -35,8 +35,9 @@ def get_arguments():
     p.add_argument("--coattention-backend", default="pallas")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard each job's eval batch over all TPU chips.")
-    p.add_argument("--quantize", default="", choices=["", "int8"],
-                   help="int8 trunk/ASPP convs (see test.py --quantize).")
+    p.add_argument("--quantize", default="", choices=["", "int8", "int8-static"],
+                   help="int8 trunk/ASPP convs (see test.py --quantize); "
+                        "int8-static calibrates on the first job's first batch.")
     p.add_argument("--device-preprocess", action="store_true",
                    help="uint8 staging + on-device resize/mean-sub (sbmrgbd only).")
     p.add_argument("--frame-pool", type=float, default=0, metavar="MB",
@@ -94,6 +95,11 @@ def main():
 
         enable_int8(min_in_channels=512)  # measured sweet spot, docs/PERF_r3.md
         print("=====> int8 quantized inference")
+    elif args.quantize == "int8-static":
+        from cosnet_tpu.nn.quant import enable_int8
+
+        enable_int8(min_in_channels=int(os.environ.get("COSNET_INT8_MIN_CI", "64")))
+        print("=====> int8 quantized inference (static scales; calibrating on job 1)")
     pretrained = cfg.test_pretrained_params(user_config, full_name)
     t_init = time.time()
     session = EvalSession(
@@ -141,6 +147,17 @@ def main():
                                 davis_subset_file=davis_subset_file,
                                 raw_eval=args.device_preprocess,
                                 keep_remainder=True)
+        if args.quantize == "int8-static":
+            from cosnet_tpu.eval.runner import calibrate_static_int8
+            from cosnet_tpu.nn.quant import static_amax
+
+            if not static_amax():  # calibrate once, on the first job
+                calib_db = db if not args.device_preprocess else build_test_dataset(
+                    dataset, ds_cfg, args.batch_size,
+                    davis_subset_file=davis_subset_file, raw_eval=False,
+                    keep_remainder=True)
+                amax = calibrate_static_int8(session, calib_db, args.batch_size)
+                print(f"=====> calibrated {len(amax)} int8 conv sites (job {name})")
         out_dir = None
         if args.save_seg_img:
             out_dir = os.path.join(result_dir, "obj_seg_imgs", name.replace("/", "_"))

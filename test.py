@@ -61,13 +61,18 @@ def get_arguments():
                              "for reproducible sweeps.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
-    parser.add_argument("--quantize", default="", choices=["", "int8"],
+    parser.add_argument("--quantize", default="", choices=["", "int8", "int8-static"],
                         help="Run the trunk/ASPP convs in int8 on the MXU (s8xs8->s32, "
                              "dynamic per-tensor activation scales, per-channel weight "
                              "scales — no calibration; same checkpoint). ~1.5-2.6x per "
                              "conv class on v5e (benchmarks/int8_probe.py); masks gated "
                              "vs f32 by tests/test_quant.py. Composes with --dtype "
-                             "bfloat16 for the non-conv stream.")
+                             "bfloat16 for the non-conv stream. 'int8-static' "
+                             "additionally calibrates activation scales on the first "
+                             "batch and bakes them in as constants: the requantize "
+                             "folds into the conv/BN/ReLU epilogues (activations "
+                             "stream between convs as int8) and the int8 coverage "
+                             "threshold drops to COSNET_INT8_MIN_CI (default 64).")
     parser.add_argument("--device-preprocess", action="store_true",
                         help="Ship ROI-cropped SOURCE frames as uint8 and run the "
                              "resize + mean subtraction on device inside the jitted "
@@ -146,6 +151,15 @@ def main():
         # costs more than narrow convs' MXU win (measured, docs/PERF_r3.md).
         enable_int8(min_in_channels=512)  # measured sweet spot, docs/PERF_r3.md
         print("=====> int8 quantized inference (dynamic activation scales)")
+    elif args.quantize == "int8-static":
+        from cosnet_tpu.nn.quant import enable_int8
+
+        # Static scales remove the per-conv quantize pass (it fuses into the
+        # producer epilogue), so the coverage threshold can drop below the
+        # dynamic path's 512 sweet spot. Calibration happens on the first
+        # batch below, after the dataset is built.
+        enable_int8(min_in_channels=int(os.environ.get("COSNET_INT8_MIN_CI", "64")))
+        print("=====> int8 quantized inference (static calibrated scales)")
 
     pretrained = cfg.test_pretrained_params(user_config, full_name)
     session = EvalSession(
@@ -162,6 +176,16 @@ def main():
     db_test = build_test_dataset(args.dataset, ds_cfg, batch_size, davis_subset_file,
                                  raw_eval=args.device_preprocess)
     print("======> test set size:", len(db_test) // batch_size)
+
+    if args.quantize == "int8-static":
+        from cosnet_tpu.eval.runner import calibrate_static_int8
+
+        # Calibrate on the first HOST-PATH batch (raw mode stages uint8, so
+        # it builds a float twin of the dataset just for this one batch).
+        calib_db = db_test if not args.device_preprocess else build_test_dataset(
+            args.dataset, ds_cfg, batch_size, davis_subset_file, raw_eval=False)
+        amax = calibrate_static_int8(session, calib_db, batch_size)
+        print(f"=====> calibrated {len(amax)} int8 conv sites on the first batch")
 
     apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
     if apply_crf:
