@@ -120,6 +120,11 @@ def main():
         results["pipelined" if pipelined else "serial"].append(round(ms, 2))
         loss_seqs.append(losses)
         print(f"  -> {ms:.1f} ms/step ({len(losses)} Epoch lines)", flush=True)
+        # Each run leaves ~4 GB of per-epoch orbax+pth snapshots; 12 runs
+        # filled /tmp (ENOSPC killed the first r4 capture's final run).
+        import shutil
+
+        shutil.rmtree(os.path.join(workdir, "snapshots"), ignore_errors=True)
 
     assert all(s == loss_seqs[0] for s in loss_seqs[1:]), \
         "loss/lr sequences differ across runs"

@@ -112,17 +112,34 @@ class EvalSession:
         # a 480x854 batch-8 input set is 105 MB as f32).
         self.stage_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
         self.n_inputs = model_input_signature(full_name)
-        variables = init_variables(self.model, self.n_inputs)
-        _mark("init_variables")
         self.pretrained_loaded = bool(pretrained and os.path.isfile(pretrained))
         if self.pretrained_loaded:
+            from cosnet_tpu.models import init_variable_shapes
+            from cosnet_tpu.utils.torch_import import fully_covers
+
             sd = load_pth(pretrained)
             imported = state_dict_to_variables(sd["model"] if "model" in sd else sd)
+            _mark("load_pth")
+            shapes = init_variable_shapes(self.model, self.n_inputs)
+            _mark("eval_shape")
+            if all(fully_covers(shapes[c], imported.get(c, {}))
+                   for c in ("params", "batch_stats")):
+                # Checkpoint covers every leaf: real init values are dead —
+                # zeros + merge skips the minutes-long XLA:CPU init compile
+                # (round 3's serve cold start, VERDICT r3 #4).
+                variables = jax.tree.map(
+                    lambda s: np.zeros(s.shape, s.dtype), shapes)
+            else:
+                variables = init_variables(self.model, self.n_inputs)
+                _mark("init_variables")
             variables = {
                 "params": merge_variables(variables["params"], imported["params"]),
                 "batch_stats": merge_variables(variables["batch_stats"], imported["batch_stats"]),
             }
-            _mark("load_pth")
+            _mark("merge")
+        else:
+            variables = init_variables(self.model, self.n_inputs)
+            _mark("init_variables")
         variables = device_materialize(jax.tree.map(jnp.asarray, variables))
         _mark("weight_upload")
 

@@ -138,6 +138,24 @@ def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0, on_cpu: boo
     return do_init()
 
 
+def init_variable_shapes(model, n_inputs: int, hw=(64, 64), seed: int = 0):
+    """Abstract variable tree (shapes/dtypes only, via ``jax.eval_shape``) —
+    no init compute or compile. Used by the serving path when a checkpoint
+    fully covers the tree: real init values would be overwritten anyway, and
+    a full flax init on this 1-core host costs minutes of XLA:CPU compile
+    (the dominant term of round 3's 524 s serve cold start)."""
+    import jax
+
+    rgb = jnp.zeros((1, *hw, 3), jnp.float32)
+    d = jnp.zeros((1, *hw, 1), jnp.float32)
+    args = [rgb, rgb, d, d][: max(n_inputs, 2)]
+    init_model = model
+    if getattr(model, "coattention_backend", "einsum") != "einsum":
+        init_model = model.clone(coattention_backend="einsum")
+    return jax.eval_shape(
+        lambda: init_model.init(jax.random.key(seed), *args, train=False))
+
+
 def model_input_signature(full_name: str) -> int:
     """Number of image inputs the model's __call__ takes (test.py:291-297)."""
     if full_name == "resnet_aspp_add":

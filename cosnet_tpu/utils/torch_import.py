@@ -172,6 +172,19 @@ def merge_variables(base: dict, update: dict) -> dict:
     return merged
 
 
+def fully_covers(base: dict, update: dict) -> bool:
+    """True iff EVERY leaf path of ``base`` exists in ``update`` — i.e. a
+    merge would overwrite the whole tree and ``base``'s values are dead
+    (lets the serving path skip computing real init values)."""
+    for k, v in base.items():
+        if k not in update:
+            return False
+        if isinstance(v, dict):
+            if not isinstance(update[k], dict) or not fully_covers(v, update[k]):
+                return False
+    return True
+
+
 def unmatched_paths(base: dict, update: dict, prefix=()):
     """Paths present in ``update`` but missing from ``base`` (for logging)."""
     missing = []

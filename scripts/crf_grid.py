@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Grid-search the dense-CRF params against a TRAINED checkpoint (VERDICT r3 #8).
+
+Round 3 measured the CRF with literature-default params as a no-op
+(ΔIoU +7.3e-5, docs/evidence/CRF_DELTA_r03.json). This script gives the
+flag a fair shot: it runs OUR model (trained synthetic checkpoint,
+scripts/train_synth_ckpt.py) over the bench tree ONCE, caches every
+(mask, guide, gt) triple, then sweeps the 4 CRF kernel params
+(eval/crf.py::crf_refine — Gaussian/bilateral widths and weights; one
+compiled graph serves the whole grid since the params are traced scalars)
+and reports the best-found IoU/F delta vs no-CRF. If the best delta stays
+<= 1e-3 IoU the flag is documented as parity-only (PARITY.md).
+
+Reference intent: ``/root/reference/test.py:38-39,76`` (pydensecrf import
++ commented-out call — the reference never shipped a working CRF either).
+
+Usage: python scripts/crf_grid.py [--epochs 4] [--frames 48]
+Writes docs/evidence/CRF_GRID_r04.json.
+"""
+import argparse
+import itertools
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from train_synth_ckpt import ensure_checkpoint  # noqa: E402
+
+EVIDENCE = os.path.join(REPO, "docs", "evidence")
+
+
+def collect_triples(ckpt: str, tree: str, max_frames: int):
+    """(mask_u8, guide, gt) per frame from the host-path eval pipeline."""
+    import jax.numpy as jnp
+    import yaml
+
+    from cosnet_tpu import config as cfg
+    from cosnet_tpu.data import BatchLoader
+    from cosnet_tpu.eval.runner import EvalSession, build_test_dataset
+    from cosnet_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    with open(os.path.join(REPO, "config.yaml")) as f:
+        user_config = yaml.safe_load(f)
+    user_config["test"]["dataset"]["sbmrgbd"]["data_path"] = tree
+    user_config["test"]["dataset"]["sbmrgbd"]["subset"] = None
+    ds_cfg, _ = cfg.test_dataset_config(user_config, "sbmrgbd")
+    session = EvalSession("resnet_aspp_add", dtype="bfloat16", pretrained=ckpt)
+    assert session.pretrained_loaded, ckpt
+    db = build_test_dataset("sbmrgbd", ds_cfg, 8)
+    forward = session.forward_fn(as_uint8=True)
+    triples = []
+    for batch in BatchLoader(db, batch_size=8, shuffle=False, drop_last=True):
+        searches = np.stack([batch["search_0"]], axis=1)
+        s_depths = np.stack([batch["search_0_depth"]], axis=1)
+        mask = np.asarray(forward(session.variables, jnp.asarray(batch["target"]),
+                                  jnp.asarray(searches),
+                                  jnp.asarray(batch["target_depth"]),
+                                  jnp.asarray(s_depths)))
+        for i in range(mask.shape[0]):
+            triples.append((mask[i, :, :, 0],
+                            np.asarray(batch["target"][i], np.float32),
+                            np.asarray(batch["target_gt"][i])))
+            if len(triples) >= max_frames:
+                return triples
+    return triples
+
+
+def score(triples, crf_params=None):
+    from cosnet_tpu.eval.crf import refine_mask_u8
+    from cosnet_tpu.eval.metrics import compute_iou, f_measure
+
+    ious, fs = [], []
+    for mask_u8, guide, gt in triples:
+        if crf_params is not None:
+            mask_u8 = refine_mask_u8(mask_u8, guide, **crf_params)
+        ious.append(compute_iou(mask_u8, gt))
+        fs.append(f_measure(mask_u8, gt))
+    return float(np.mean(ious)), float(np.mean(fs))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--out", default=os.path.join(EVIDENCE, "CRF_GRID_r04.json"))
+    args = ap.parse_args()
+
+    ckpt = ensure_checkpoint(args.epochs)
+    tree = "/tmp/cosnet_bench_sbm"
+    triples = collect_triples(ckpt, tree, args.frames)
+    print(f"{len(triples)} frames cached", flush=True)
+
+    iou0, f0 = score(triples)
+    print(f"no-CRF baseline: IoU {iou0:.6f}  F {f0:.6f}", flush=True)
+
+    # default params (eval/crf.py:45-48) first, then the grid
+    grid = {
+        "w_gauss": [0.5, 1.5, 3.0],
+        "sxy_gauss": [1.5, 3.0],
+        "w_bilateral": [2.0, 5.0, 10.0],
+        "srgb": [5.0, 13.0],
+        "sxy_bilateral": [40.0, 80.0],
+    }
+    results = []
+    default = dict(sxy_gauss=3.0, w_gauss=3.0, sxy_bilateral=40.0, srgb=13.0,
+                   w_bilateral=10.0)
+    combos = [default] + [dict(zip(grid, vals))
+                          for vals in itertools.product(*grid.values())]
+    best = None
+    for i, params in enumerate(combos):
+        iou, f = score(triples, params)
+        row = {"params": params, "iou": iou, "f": f,
+               "delta_iou": iou - iou0, "delta_f": f - f0}
+        results.append(row)
+        if best is None or iou > best["iou"]:
+            best = row
+        if i % 10 == 0:
+            print(f"  [{i + 1}/{len(combos)}] dIoU {iou - iou0:+.6f} "
+                  f"(best {best['delta_iou']:+.6f})", flush=True)
+
+    report = {
+        "checkpoint": os.path.basename(ckpt), "frames": len(triples),
+        "iou_no_crf": iou0, "f_no_crf": f0,
+        "default_params": results[0],
+        "best": best,
+        "grid_size": len(combos),
+        "verdict": ("tuned CRF helps" if best["delta_iou"] > 1e-3
+                    else "CRF is parity-only at this scale (<=1e-3 IoU)"),
+        "all": results,
+    }
+    os.makedirs(EVIDENCE, exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: report[k] for k in
+                      ("iou_no_crf", "best", "verdict", "grid_size")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,36 @@ def _run(tree, tmpdir, data_parallel, save_imgs=False):
     return res, log_path, out_dir
 
 
+def test_session_pretrained_fast_init_matches(tree, tiny_model, tmp_path):
+    """A fully-covering .pth checkpoint must take the eval_shape+zeros init
+    path (no real flax init — round 3's 524 s serve cold start was dominated
+    by the XLA:CPU init compile) and produce the same forward as applying
+    the checkpoint variables directly."""
+    import jax.numpy as jnp
+
+    from cosnet_tpu.eval.runner import EvalSession
+    from cosnet_tpu.utils.torch_import import save_pth
+
+    fresh = EvalSession("resnet_aspp_add", coattention_backend="einsum")
+    assert "init_variables" in fresh.init_breakdown  # no ckpt -> real init
+    pth = os.path.join(str(tmp_path), "snapshot_test.pth")
+    save_pth(pth, fresh.variables, epoch=0)
+
+    session = EvalSession("resnet_aspp_add", coattention_backend="einsum",
+                          pretrained=pth)
+    assert session.pretrained_loaded
+    assert "eval_shape" in session.init_breakdown
+    assert "init_variables" not in session.init_breakdown  # fast path taken
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((1, 32, 48, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((1, 32, 48, 1)).astype(np.float32))
+    out_ckpt = session.model.apply(session.variables, a, a, d, d, train=False)[0]
+    out_ref = fresh.model.apply(fresh.variables, a, a, d, d, train=False)[0]
+    np.testing.assert_allclose(np.asarray(out_ckpt), np.asarray(out_ref),
+                               rtol=0, atol=1e-6)
+
+
 def test_session_run_single_device(tree, tiny_model, tmp_path):
     res, log_path, out_dir = _run(tree, str(tmp_path), data_parallel=False,
                                   save_imgs=True)

@@ -352,20 +352,27 @@ def main():
             db_train.new_training_epoch()
             batches = map(stage, iter(trainloader)) if args.no_prefetch \
                 else device_prefetch(iter(trainloader), put=stage)
-            # 1-deep software pipeline (same shape as the eval loop,
-            # eval/runner.py): step k+1 dispatches before step k's loss is
-            # fetched, so the per-step host sync (`float(loss)` — a 3-29 ms
-            # relay round-trip on the tunneled TPU) rides under the device
-            # computing step k+1. Step k's full log block — the " Start
-            # batch" HBM line (sampled pre-dispatch), " After step" line,
-            # and the Epoch loss line — is buffered and emitted when its
-            # loss materializes: loss/lr values and log-line ORDER are
-            # byte-identical to the serial loop (pinned by
-            # tests/test_train_driver.py); the HBM lines keep their slots
-            # but report whatever the device holds at their sampling
-            # moment, which legitimately differs once steps overlap.
-            # COSNET_TRAIN_PIPELINE=0 restores the serial loop (A/B).
-            pipelined = os.environ.get("COSNET_TRAIN_PIPELINE", "1") != "0"
+            # Optional 1-deep software pipeline (same shape as the eval
+            # loop, eval/runner.py): step k+1 dispatches before step k's
+            # loss is fetched, so the per-step host sync (`float(loss)`)
+            # could ride under the device computing step k+1. Step k's full
+            # log block — the " Start batch" HBM line (sampled
+            # pre-dispatch), " After step" line, and the Epoch loss line —
+            # is buffered and emitted when its loss materializes: loss/lr
+            # values and log-line ORDER are byte-identical to the serial
+            # loop (pinned by tests/test_train_driver.py); the HBM lines
+            # keep their slots but report whatever the device holds at
+            # their sampling moment.
+            # DEFAULT OFF: measured SLOWER on the tunneled-relay backend —
+            # quiet-host 3×ABBA medians (benchmarks/train_loop_ab.py,
+            # docs/evidence/TRAIN_PIPELINE_r04.json) show the pipelined
+            # loop losing ~15% (the relay appears to drain the enqueue
+            # queue on the D2H loss fetch, so the deeper pipe only adds
+            # buffer pressure; round 3's contended capture overstated the
+            # loss as 1.9×). On a directly-attached TPU, where dispatch is
+            # cheap and D2H completion is out of order, set
+            # COSNET_TRAIN_PIPELINE=1 to re-enable.
+            pipelined = os.environ.get("COSNET_TRAIN_PIPELINE", "0") == "1"
             pending = None  # (i_iter, lr, device loss handle, start-batch HBM line)
 
             def consume(it, lr, loss_dev, start_line):
