@@ -115,6 +115,9 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
 
     if quantize == "int8":
         quant.enable_int8(min_in_channels=512)  # measured sweet spot (docs/PERF_r3.md)
+    elif quantize == "int8-static":
+        # calibrated below, once model + inputs exist
+        quant.enable_int8(min_in_channels=64)  # static sweet spot (docs/PERF_r4.md)
     else:
         quant.disable_int8()
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -127,6 +130,14 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
     rgb_b = jnp.asarray(rng.standard_normal((batch, H, W, 3), dtype=np.float32))
     d_a = jnp.asarray(rng.standard_normal((batch, H, W, 1), dtype=np.float32))
     d_b = jnp.asarray(rng.standard_normal((batch, H, W, 1), dtype=np.float32))
+
+    if quantize == "int8-static":
+        # one calibration forward (dynamic scales, quant_stats mutable), then
+        # bake the ranges in: requantize folds into the producer epilogues
+        # (192.9 -> 137.5 ms xplane, docs/PERF_r4.md)
+        amax = quant.collect_amax(model, variables, (rgb_a, rgb_b, d_a, d_b),
+                                  train=False)
+        quant.enable_int8(min_in_channels=64, static_amax=amax)
 
     @jax.jit
     def fwd(v, a, b, da, db):
@@ -333,6 +344,12 @@ def main():
         # gated by tests/test_quant.py.
         out["int8_fps"] = round(
             measure_tpu(args.iters, args.batch, args.backend, args.dtype, quantize="int8"), 4)
+    if not args.skip_int8 and fits("int8_static", 60):
+        # static calibrated scales: requantize folded into the epilogues,
+        # residual stream in int8 — 137.5 ms xplane (docs/PERF_r4.md)
+        out["int8_static_fps"] = round(
+            measure_tpu(args.iters, args.batch, args.backend, args.dtype,
+                        quantize="int8-static"), 4)
     if not args.skip_end_to_end:
         def e2e_timeout() -> int:
             return max(int(deadline - time.time()), 60)

@@ -37,6 +37,7 @@ MODES = {
     "f32_host": ["--dtype", "float32"],
     "bf16_host": ["--dtype", "bfloat16"],
     "int8": ["--dtype", "bfloat16", "--quantize", "int8"],
+    "int8_static": ["--dtype", "bfloat16", "--quantize", "int8-static"],
     "device_preprocess": ["--dtype", "bfloat16", "--device-preprocess"],
     "frame_pool": ["--dtype", "bfloat16", "--device-preprocess",
                    "--frame-pool", "256"],
