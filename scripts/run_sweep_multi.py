@@ -43,10 +43,8 @@ def make_workdir(sbm_tree, hzfu_tree, davis_tree, ckpt=None) -> str:
         t[k]["data_path"] = hzfu_tree
     t["davis"]["path"] = davis_tree
     t["davis"]["subset_file"] = os.path.join(davis_tree, "val_seqs.txt")
-    if ckpt:
-        for m in config["test"]["model"].values():
-            if isinstance(m, dict) and "pretrained_params" in m:
-                m["pretrained_params"] = ckpt
+    if ckpt:  # raa only: other models have different param trees
+        config["test"]["model"]["resnet_aspp_add"]["pretrained_params"] = ckpt
     workdir = tempfile.mkdtemp(prefix="cosnet_msweep_")
     with open(os.path.join(workdir, "config.yaml"), "w") as f:
         yaml.safe_dump(config, f)
@@ -75,13 +73,13 @@ def main():
     ap.add_argument("--skip-davis", action="store_true")
     args = ap.parse_args()
 
-    sbm = build_sbm("/tmp/cosnet_sweep_tree")
+    sbm = "/tmp/cosnet_sweep_tree"
+    build_sbm(sbm)  # returns the subset dict, not the path
     hzfu = build_hzfu("/tmp/cosnet_hzfu_tree")
     davis = build_davis("/tmp/cosnet_davis_tree")
     os.makedirs(EVIDENCE, exist_ok=True)
 
-    workdir = make_workdir(sbm or "/tmp/cosnet_sweep_tree", hzfu, davis,
-                           ckpt=args.ckpt or None)
+    workdir = make_workdir(sbm, hzfu, davis, ckpt=args.ckpt or None)
     out = os.path.join(EVIDENCE, f"SWEEP_{args.tag}_multi.json")
     run([sys.executable, os.path.join(REPO, "serve.py"),
          "--datasets", "sbmrgbd,hzfurgbd,hzfud", "--model", "raa",
