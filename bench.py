@@ -40,6 +40,10 @@ H, W = 480, 854
 # Speed-of-light for this step on v5e: 28.83 TFLOP @ 197 TFLOP/s bf16 with
 # the HBM floor folded in — per-op xplane analysis in docs/PERF_r2.md.
 SOL_MS = 146.0
+# int8 speed-of-light: the quantized conv FLOPs run at 2x peak (394 TOPS),
+# the bf16 remainder (conv1 stem, flash co-attention, BN/decode elementwise)
+# does not — derivation from the per-op int8 trace in docs/PERF_r5.md.
+SOL_INT8_MS = 83.0
 
 
 def measure_torch_cpu(iters: int = 2) -> float:
@@ -102,8 +106,38 @@ def measure_sync_overhead_ms(iters: int = 20) -> float:
     return (time.time() - t0) / iters * 1e3
 
 
+def _xplane_device_ms(fn, steps: int = 2):
+    """Authoritative per-step device time: run ``fn`` ``steps`` times under a
+    jax.profiler trace and sum the TPU plane's XLA-op durations. Wall deltas
+    through the tunneled relay drift ~550 ms/step across sessions (CLAUDE.md
+    measurement protocol); the xplane number reproduces across rounds to
+    0.1 ms, so every published mode row carries it next to the wall fps."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    try:
+        from profile_step import aggregate_xplane
+    except Exception:
+        return None
+    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                fn()
+        ms, _ = aggregate_xplane(trace_dir, steps)
+        return round(ms, 2)
+    except Exception as e:
+        sys.stderr.write(f"xplane capture failed ({e}); falling back to wall-sync split\n")
+        return None
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
-                quantize: str = "") -> float:
+                quantize: str = "") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +151,7 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
         quant.enable_int8(min_in_channels=512)  # measured sweet spot (docs/PERF_r3.md)
     elif quantize == "int8-static":
         # calibrated below, once model + inputs exist
-        quant.enable_int8(min_in_channels=64)  # static sweet spot (docs/PERF_r4.md)
+        quant.enable_int8(min_in_channels=64, static=True)  # sweet spot (docs/PERF_r4.md)
     else:
         quant.disable_int8()
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -133,11 +167,13 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
 
     if quantize == "int8-static":
         # one calibration forward (dynamic scales, quant_stats mutable), then
-        # bake the ranges in: requantize folds into the producer epilogues
+        # install the per-channel ranges as the quant_scales collection:
+        # requantize folds into the producer epilogues
         # (192.9 -> 137.5 ms xplane, docs/PERF_r4.md)
         amax = quant.collect_amax(model, variables, (rgb_a, rgb_b, d_a, d_b),
                                   train=False)
-        quant.enable_int8(min_in_channels=64, static_amax=amax)
+        variables = dict(variables, quant_scales=jax.tree.map(
+            jnp.asarray, quant.scales_variables(amax)))
 
     @jax.jit
     def fwd(v, a, b, da, db):
@@ -150,7 +186,20 @@ def measure_tpu(iters: int, batch: int, backend: str, dtype_name: str,
         s = float(fwd(variables, rgb_a, rgb_b, d_a, d_b))  # host transfer per iter
     dt = (time.time() - t0) / iters
     assert np.isfinite(s)
-    return batch / dt
+    # Device truth per mode (VERDICT r4 #4): the wall fps above includes the
+    # relay's per-sync round-trip, which drifts between modes measured
+    # minutes apart (r4's published int8 27.8 < f32 29.4 inversion was pure
+    # relay regime). The xplane device step + the implied local sync make
+    # each mode row self-explaining.
+    device_ms = _xplane_device_ms(
+        lambda: float(fwd(variables, rgb_a, rgb_b, d_a, d_b)))
+    wall_ms = dt * 1e3
+    return {
+        "fps": batch / dt,
+        "device_step_ms": device_ms,
+        "device_fps": round(batch / device_ms * 1e3, 4) if device_ms else None,
+        "sync_ms_local": round(wall_ms - device_ms, 2) if device_ms else None,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -294,9 +343,10 @@ def main():
         return
 
     base = baseline_fps(args.measure_baseline)
-    fps = measure_tpu(args.iters, args.batch, args.backend, args.dtype)
+    head = measure_tpu(args.iters, args.batch, args.backend, args.dtype)
+    fps = head["fps"]
     sync_ms = measure_sync_overhead_ms()
-    device_step_ms = max(args.batch / fps * 1e3 - sync_ms, 0.0)
+    device_step_ms = head["device_step_ms"] or max(args.batch / fps * 1e3 - sync_ms, 0.0)
     out = {
         "metric": f"raa_inference_frames_per_sec_per_chip_480x854_batch{args.batch}_{args.dtype}",
         "value": round(fps, 4),
@@ -315,6 +365,7 @@ def main():
         "sol_fraction": round(SOL_MS / device_step_ms, 4) if device_step_ms else None,
         "sync_overhead_ms": round(sync_ms, 2),
         "device_step_ms": round(device_step_ms, 2),
+        "device_step_source": "xplane" if head["device_step_ms"] else "wall_minus_sync",
         "device_fps": round(args.batch / device_step_ms * 1e3, 4) if device_step_ms else None,
     }
     # CONTRACT LINE — printed and flushed the moment the headline measurement
@@ -336,20 +387,33 @@ def main():
     # In-process reruns reuse the warm jax client: ~iters*step + cached
     # compile. Each test.py subprocess pays interpreter+backend init (~60 s)
     # plus the eval drive itself; give them a conservative floor.
+    def mode_row(prefix: str, r: dict, sol_ms: float = None):
+        """Every published mode carries wall fps + xplane device step + the
+        implied local sync, so a wall inversion between modes measured in
+        different relay regimes reads as sync drift, not a regression."""
+        out[f"{prefix}_fps"] = round(r["fps"], 4)
+        if r["device_step_ms"]:
+            out[f"{prefix}_device_step_ms"] = r["device_step_ms"]
+            out[f"{prefix}_device_fps"] = r["device_fps"]
+            out[f"{prefix}_sync_ms"] = r["sync_ms_local"]
+            if sol_ms:
+                out[f"sol_fraction_{prefix}"] = round(sol_ms / r["device_step_ms"], 4)
+
     if not args.skip_f32 and args.dtype != "float32" and fits("f32", 60):
-        out["f32_fps"] = round(measure_tpu(args.iters, args.batch, args.backend, "float32"), 4)
+        mode_row("f32", measure_tpu(args.iters, args.batch, args.backend, "float32"))
     if not args.skip_int8 and fits("int8", 60):
         # int8 MXU path on the wide convs (test.py --quantize int8): device
         # step 192.8 -> 165.0 ms xplane (docs/PERF_r3.md); mask-agreement
         # gated by tests/test_quant.py.
-        out["int8_fps"] = round(
-            measure_tpu(args.iters, args.batch, args.backend, args.dtype, quantize="int8"), 4)
+        mode_row("int8", measure_tpu(args.iters, args.batch, args.backend,
+                                     args.dtype, quantize="int8"))
     if not args.skip_int8 and fits("int8_static", 60):
-        # static calibrated scales: requantize folded into the epilogues,
-        # residual stream in int8 — 137.5 ms xplane (docs/PERF_r4.md)
-        out["int8_static_fps"] = round(
-            measure_tpu(args.iters, args.batch, args.backend, args.dtype,
-                        quantize="int8-static"), 4)
+        # static calibrated per-channel scales: requantize folded into the
+        # epilogues, residual stream in int8 (docs/PERF_r4.md / PERF_r5.md);
+        # int8 speed-of-light differs from bf16 (conv FLOPs at 2x peak).
+        mode_row("int8_static",
+                 measure_tpu(args.iters, args.batch, args.backend, args.dtype,
+                             quantize="int8-static"), sol_ms=SOL_INT8_MS)
     if not args.skip_end_to_end:
         def e2e_timeout() -> int:
             return max(int(deadline - time.time()), 60)

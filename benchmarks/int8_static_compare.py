@@ -51,7 +51,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "evidence",
-                                                  "INT8_STATIC_r04.json"))
+                                                  "INT8_STATIC_r05.json"))
     args = ap.parse_args()
 
     report = {"config": "eval fwd 480x854 batch 8 bf16 stream, xplane", "modes": {}}

@@ -94,7 +94,8 @@ def main():
     if args.quantize:
         from cosnet_tpu.nn.quant import enable_int8
 
-        enable_int8(min_in_channels=args.quantize_min_ci)
+        enable_int8(min_in_channels=args.quantize_min_ci,
+                    static=args.quantize == "int8-static")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model("resnet_aspp_add", coattention_backend="pallas",
                          dtype=dtype, remat=args.remat)
@@ -110,8 +111,9 @@ def main():
         from cosnet_tpu.nn import quant
 
         amax = quant.collect_amax(model, variables, tuple(imgs), train=False)
-        quant.enable_int8(min_in_channels=args.quantize_min_ci, static_amax=amax)
-        print(f"calibrated {len(amax)} conv sites (static int8 scales)")
+        variables = dict(variables, quant_scales=jax.tree.map(
+            jnp.asarray, quant.scales_variables(amax)))
+        print(f"calibrated {len(amax)} conv sites (static per-channel int8 scales)")
 
     if args.multiref:
         from cosnet_tpu.eval.infer import build_multi_reference_forward

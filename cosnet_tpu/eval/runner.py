@@ -130,7 +130,8 @@ class EvalSession:
                 variables = jax.tree.map(
                     lambda s: np.zeros(s.shape, s.dtype), shapes)
             else:
-                variables = init_variables(self.model, self.n_inputs)
+                variables = init_variables(self.model, self.n_inputs,
+                                           cache_key=full_name)
                 _mark("init_variables")
             variables = {
                 "params": merge_variables(variables["params"], imported["params"]),
@@ -138,7 +139,10 @@ class EvalSession:
             }
             _mark("merge")
         else:
-            variables = init_variables(self.model, self.n_inputs)
+            # fresh init (no checkpoint): disk-memoized per (model, geometry)
+            # so only the first-ever session pays the XLA:CPU init compile
+            variables = init_variables(self.model, self.n_inputs,
+                                       cache_key=full_name)
             _mark("init_variables")
         variables = device_materialize(jax.tree.map(jnp.asarray, variables))
         _mark("weight_upload")
@@ -449,8 +453,38 @@ class EvalSession:
             return batch, dev_batch, n_real
 
         put = stage_pooled if pooled_tuple else stage_pooled_dp if pooled_dp else stage
-        staged = map(put, iter(testloader)) if no_prefetch \
-            else device_prefetch(iter(testloader), put=put)
+        # COSNET_EVAL_LADDER=1: accumulate per-stage wall time (decode /
+        # stage / dispatch / block / score) for the e2e attribution ladder
+        # (benchmarks/e2e_ladder.py). Attribution is exact in the serial
+        # no-prefetch configuration; under the prefetcher/pipeline the
+        # stages overlap and the sums measure occupancy, not latency.
+        ladder = ({"decode_s": 0.0, "stage_s": 0.0, "dispatch_s": 0.0,
+                   "block_s": 0.0, "score_s": 0.0}
+                  if os.environ.get("COSNET_EVAL_LADDER") == "1" else None)
+        if ladder is not None:
+            raw_put, raw_iter = put, iter(testloader)
+
+            def put(b, _inner=raw_put):
+                t0 = time.time()
+                out = _inner(b)
+                ladder["stage_s"] += time.time() - t0
+                return out
+
+            def _timed_loader():
+                while True:
+                    t0 = time.time()
+                    try:
+                        b = next(raw_iter)
+                    except StopIteration:
+                        return
+                    ladder["decode_s"] += time.time() - t0
+                    yield b
+
+            staged = map(put, _timed_loader()) if no_prefetch \
+                else device_prefetch(_timed_loader(), put=put)
+        else:
+            staged = map(put, iter(testloader)) if no_prefetch \
+                else device_prefetch(iter(testloader), put=put)
 
         iou_result, f_result, iou_counter = 0.0, 0.0, 0
         per_challenge = {}  # challenge -> (iou sum, F sum, frames)
@@ -512,7 +546,12 @@ class EvalSession:
             b = batch["target"].shape[0]
             # The only blocking D2H of the loop: [B,6] int32 counters in
             # device-metrics mode, the mask stack otherwise.
+            t_blk = time.time()
             mask = np.asarray(mask_dev)[:n_real]
+            if ladder is not None:
+                now_blk = time.time()
+                ladder["block_s"] += now_blk - t_blk
+                ladder["_score_t0"] = now_blk
             now = time.time()
             latencies.append((now - last_done) / b)
             last_done = now
@@ -556,6 +595,8 @@ class EvalSession:
                     # than PIL's default level 6; still a lossless PNG.
                     cv2.imwrite(os.path.join(save_dir, f"{fid}.png"), mask_u8,
                                 [cv2.IMWRITE_PNG_COMPRESSION, 1])
+            if ladder is not None:
+                ladder["score_s"] += time.time() - ladder.pop("_score_t0")
 
         # 1-deep software pipeline: batch k's host scoring + mask D2H overlap
         # batch k+1's device compute (jit dispatch is async; np.asarray is the
@@ -567,7 +608,10 @@ class EvalSession:
         for index, (batch, dev_batch, n_real) in enumerate(staged):
             if print_progress:
                 print("%d processd" % index)
+            t_disp = time.time()
             handle = dispatch(dev_batch)
+            if ladder is not None:
+                ladder["dispatch_s"] += time.time() - t_disp
             if pending is not None:
                 consume(*pending)
                 pending = None
@@ -582,6 +626,10 @@ class EvalSession:
 
         result = {"frames": frames_done, "iou": None, "f_measure": None,
                   "per_challenge": {}, "fps": None, "steady_fps": None, "p50_ms": None}
+        if ladder is not None and frames_done:
+            result["ladder_ms_per_frame"] = {
+                k[:-2]: round(v / frames_done * 1e3, 2)
+                for k, v in ladder.items() if k.endswith("_s")}
         if pooled:
             result["pool"] = {"uploads": pool.misses, "hits": pool.hits,
                               "d2d_moves": pool.moves,
@@ -625,36 +673,78 @@ class EvalSession:
         return result
 
 
-def calibrate_static_int8(session: EvalSession, db_calib, batch_size: int) -> dict:
-    """Calibrate static int8 activation scales on the FIRST host-path batch.
+def calibrate_static_int8(session: EvalSession, db_calib, batch_size: int,
+                          n_batches: int = None) -> dict:
+    """Calibrate static int8 activation scales on the first K host-path
+    batches and install them into the session's variable tree.
 
-    Runs one forward with the ``quant_stats`` collection mutable
-    (nn/quant.py::collect_amax) over the first preprocessed batch of
-    ``db_calib`` (must be a float/host-path dataset — raw uint8 staging
-    happens inside a different graph) and re-enables int8 with the
-    collected ranges baked in as constants. Every forward the session
-    builds afterwards traces with static scales: the requantize folds into
-    the producer epilogues and activations stream between convs as int8.
+    Runs the stats forward (``quant_stats`` mutable, nn/quant.py) over up
+    to ``n_batches`` preprocessed batches of ``db_calib`` (must be a
+    float/host-path dataset — raw uint8 staging happens inside a different
+    graph), reduces the per-site per-channel ranges with elementwise max,
+    and writes the resulting ``quant_scales`` collection into
+    ``session.variables``. Every static-mode forward reads the scales as
+    runtime inputs, so RE-calibrating (serve.py does it per sweep job)
+    updates values in place — the compiled executables are reused as-is.
 
-    One extra full-model compile (cached in .jax_cache) + one forward is
-    the entire calibration cost."""
+    The stats forward is jitted once per session (reused across batches
+    and across re-calibrations); one cached compile + K forwards is the
+    entire calibration cost. Multi-batch default: 4
+    (``COSNET_INT8_CALIB_BATCHES``) — round 4 calibrated on a single batch
+    and its max-range scales drifted +1.4e-2 F on later batches
+    (docs/evidence/FINGERPRINTS_r04.json)."""
+    import jax
     import jax.numpy as jnp
 
     from cosnet_tpu.data import BatchLoader
     from cosnet_tpu.nn import quant
 
-    assert quant.int8_enabled(), "enable_int8 first (dynamic mode) so the calibration trace sows"
-    batch = next(iter(BatchLoader(db_calib, batch_size=batch_size,
-                                  shuffle=False, drop_last=False)))
-    a = jnp.asarray(batch["target"])
-    b = jnp.asarray(batch["search_0"])
-    inputs = (a, b)
-    if session.n_inputs >= 3:
-        inputs += (jnp.asarray(batch["target_depth"]),)
-    if session.n_inputs == 4:
-        inputs += (jnp.asarray(batch["search_0_depth"]),)
-    amax = quant.collect_amax(session.model, session.variables, inputs, train=False)
-    quant.enable_int8(min_in_channels=quant.min_in_channels(), static_amax=amax)
+    assert quant.int8_enabled(), "enable_int8 first so QuantConv sites exist to calibrate"
+    if n_batches is None:
+        n_batches = int(os.environ.get("COSNET_INT8_CALIB_BATCHES", "4"))
+
+    if getattr(session, "_calib_fn", None) is None:
+        model, n_in = session.model, session.n_inputs
+
+        @jax.jit
+        def stats_fn(v, *ins):
+            _, stats = model.apply(v, *ins, mutable=["quant_stats"], train=False)
+            return stats.get("quant_stats", {})
+
+        session._calib_fn = stats_fn
+
+    # strip any previously installed scales so re-calibration traces with
+    # the same input structure (and the dynamic branch sows regardless)
+    base_vars = {k: v for k, v in session.variables.items() if k != "quant_scales"}
+    amax, seen = None, 0
+    for batch in BatchLoader(db_calib, batch_size=batch_size, shuffle=False,
+                             drop_last=False):
+        if seen and batch["target"].shape[0] != batch_size:
+            break  # short trailing batch would force a second stats compile
+        inputs = (jnp.asarray(batch["target"]), jnp.asarray(batch["search_0"]))
+        if session.n_inputs >= 3:
+            inputs += (jnp.asarray(batch["target_depth"]),)
+        if session.n_inputs == 4:
+            inputs += (jnp.asarray(batch["search_0_depth"]),)
+        got = quant.harvest_amax(session._calib_fn, base_vars, inputs)
+        amax = got if amax is None else quant.merge_amax(amax, got)
+        seen += 1
+        if seen >= n_batches:
+            break
+    if not amax:
+        raise ValueError("calibration dataset yielded no batches")
+
+    tree = jax.tree.map(jnp.asarray, quant.scales_variables(amax))
+    if session.mesh is not None:
+        from cosnet_tpu.parallel.mesh import replicate
+
+        tree = replicate(tree, session.mesh)
+    had = "quant_scales" in session.variables
+    session.variables = dict(session.variables, quant_scales=tree)
+    if not had:
+        # forwards traced before scales existed close over the old tree
+        # structure; drop them (normal flow builds none before calibration)
+        session._forwards = {}
     return amax
 
 

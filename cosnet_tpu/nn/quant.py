@@ -7,105 +7,159 @@ timing): the ASPP 2048→512 atrous class runs 1.74× faster as s8×s8→s32,
 layer3 3×3 2.61×, 1×1 1.51× — XLA does lower int8 ``conv_general_dilated``
 onto the int8 MXU path.
 
-Scheme: **dynamic symmetric quantization** — per-output-channel weight
-scales (max|w|/127, computed from the f32 checkpoint weights at trace
-time, folded into the rescale) and a per-tensor dynamic activation scale
-(max|x|/127, one VPU reduction per conv). No calibration data needed, the
-parameter tree is unchanged (same ``kernel``/``bias`` f32 params — any
-checkpoint loads as-is), and accuracy is gated exactly like bf16 was:
-uint8-scale mask agreement vs the f32 path
-(tests/test_quant.py / the --quantize drive).
+Two activation-scale schemes, one parameter tree (same ``kernel``/``bias``
+f32 params as ``nn.Conv`` — any checkpoint loads on either path):
+
+**Dynamic** (``enable_int8()``): per-output-channel weight scales
+(max|w|/127, from the f32 checkpoint weights at trace time) and a
+per-tensor dynamic activation scale (max|x|/127, one VPU reduction per
+conv input). No calibration needed; the reduction costs an extra
+elementwise read per conv, so only wide convs are net-positive
+(``min_in_channels=512`` sweet spot, docs/PERF_r3.md).
+
+**Static** (``enable_int8(static=True)`` + :func:`calibrate_static_int8`
+in eval/runner.py): PER-INPUT-CHANNEL activation scales calibrated over
+the first K eval batches, carried in a ``quant_scales`` flax variables
+collection. Because the scales are *runtime inputs* (tiny [ci] vectors in
+the session's variable tree), not trace-time constants:
+
+- recalibration (e.g. per sweep job in serve.py) reuses the already
+  compiled executable — same HLO, new scale values, zero retrace;
+- scales are scoped to the session/model whose tree carries them — two
+  sessions in one process cannot cross-apply each other's calibration
+  (the round-4 advisor's ``_STATIC_AMAX`` process-global hazard);
+- a site absent from the collection falls back to the dynamic per-tensor
+  scale, so mixed static/dynamic coverage (drift bisection, outlier
+  sites) is just "drop the site from the calibration dict".
+
+The per-channel quantize is still a pure elementwise chain (multiply by a
+broadcast [ci] vector — no reduction over the producer's output), so XLA
+fuses it into the producing conv/BN/ReLU epilogue and the activation
+crosses HBM as int8 exactly like the scalar-static form did; the channel
+scales fold into the *weight* quantization (``w·s_x`` quantized per output
+channel), so the MAC and the rescale epilogue are unchanged. Per-channel
+granularity removes the outlier-channel error that per-tensor static
+scales suffer (the round-4 +1.4e-2 F drift).
+
+BN stays f32 downstream (it consumes the rescaled f32 conv output); the
+co-attention kernel, classifiers, and mask decode are untouched — the
+trunk/ASPP convs are where the int8 FLOPs are.
 
 Like context parallelism, the switch is trace-time module state
 (:func:`enable_int8`) rather than an attribute threaded through every
 module: ``resnet._conv`` / ``aspp._biased_conv`` consult it when they
 build, swapping ``nn.Conv`` for :class:`QuantConv` with identical
 names/param shapes.
-
-BN stays f32 downstream (it consumes the rescaled f32 conv output); the
-co-attention kernel, classifiers, and mask decode are untouched — the
-trunk/ASPP convs are where the int8 FLOPs are.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _INT8 = False
 _MIN_IN_CHANNELS = 0
-_STATIC_AMAX: dict = {}  # conv site path -> calibrated activation max|x|
+_STATIC = False  # read per-channel scales from the "quant_scales" collection
 
 
-def enable_int8(min_in_channels: int = 0, static_amax: dict = None):
+def enable_int8(min_in_channels: int = 0, static: bool = False):
     """``min_in_channels``: quantize only convs at least this wide on the
     input-channel axis. Full-model measurement (docs/PERF_r3.md): blanket
-    int8 wins just 7% — every conv input pays a quantize pass (an extra
-    elementwise read+write), which on the narrow HBM-bound convs costs what
-    the MXU saves. The wide convs (2048/1024-ch ASPP + layer3/4 entries)
-    are where int8's 1.5-1.7x is net-positive, and the ASPP branches share
-    one quantized input (XLA CSEs the identical quantize chains).
+    dynamic int8 wins just 7% — every conv input pays a quantize pass (an
+    extra elementwise read+write), which on the narrow HBM-bound convs
+    costs what the MXU saves. The wide convs (2048/1024-ch ASPP +
+    layer3/4 entries) are where int8's 1.5-1.7x is net-positive, and the
+    ASPP branches share one quantized input (XLA CSEs the identical
+    quantize chains).
 
-    ``static_amax`` (from :func:`collect_amax`): per-site CALIBRATED
-    activation ranges. With a static scale the quantize is a pure
-    elementwise chain — no max-reduction over the producer's output — so
-    XLA fuses it into the producing conv/BN/ReLU epilogue and the
-    activation crosses HBM as int8 (the "residual stream int8" form:
-    requantization folded into the epilogues, the dynamic path's extra
-    read+write per conv input gone). That removes the narrow-conv
-    overhead, so ``min_in_channels`` can drop to cover the whole trunk."""
-    global _INT8, _MIN_IN_CHANNELS, _STATIC_AMAX
+    ``static``: read CALIBRATED per-input-channel activation ranges from
+    the ``quant_scales`` variables collection (see module docstring and
+    ``eval/runner.py::calibrate_static_int8``). The quantize becomes a
+    pure elementwise chain — no max-reduction over the producer's output —
+    so XLA fuses it into the producing conv/BN/ReLU epilogue and the
+    activation crosses HBM as int8 (the "residual stream int8" form).
+    That removes the narrow-conv overhead, so ``min_in_channels`` can
+    drop to cover the whole trunk. Sites missing from the collection run
+    with dynamic scales (mixed static/dynamic coverage)."""
+    global _INT8, _MIN_IN_CHANNELS, _STATIC
     _INT8 = True
     _MIN_IN_CHANNELS = min_in_channels
-    _STATIC_AMAX = dict(static_amax or {})
+    _STATIC = static
 
 
 def disable_int8():
-    global _INT8, _STATIC_AMAX
+    global _INT8, _STATIC
     _INT8 = False
-    _STATIC_AMAX = {}
+    _STATIC = False
 
 
 def int8_enabled() -> bool:
     return _INT8
 
 
+def static_enabled() -> bool:
+    return _STATIC
+
+
 def min_in_channels() -> int:
     return _MIN_IN_CHANNELS
 
 
-def static_amax() -> dict:
-    return _STATIC_AMAX
-
-
 def amax_headroom() -> float:
     """Safety margin on calibrated ranges: activations on frames beyond the
-    calibration batch may exceed its max|x|; values past the range clip to
-    ±127 (symmetric clip — graceful, but headroom delays it). Gated end to
-    end by the mask-agreement fingerprint drives."""
-    import os
-
+    calibration batches may exceed their max|x|; values past the range clip
+    to ±127 (symmetric clip — graceful, but headroom delays it). Gated end
+    to end by the mask-agreement fingerprint drives."""
     return float(os.environ.get("COSNET_INT8_HEADROOM", "1.1"))
+
+
+def channel_floor() -> float:
+    """Relative floor on per-channel calibrated ranges: a channel that was
+    (near-)dead on the calibration batches would otherwise get a minuscule
+    scale that crushes any later activation to ~0 after the symmetric clip.
+    Flooring each channel's range at this fraction of the site's max keeps
+    such channels representable at the cost of coarser resolution there."""
+    return float(os.environ.get("COSNET_INT8_CH_FLOOR", "0.01"))
 
 
 def collect_amax(model, variables, inputs: tuple, **apply_kwargs) -> dict:
     """One calibration forward: run the model with the ``quant_stats``
-    collection mutable (dynamic-int8 mode must be enabled) and return
-    ``{site_path: max|activation|}`` for every quantized conv input site.
+    collection mutable and return ``{site_path: per-channel max|x| [ci]}``
+    for every quantized conv input site.
 
-    Feed it a REPRESENTATIVE batch (e.g. the eval loop's first preprocessed
-    batch): the scales it yields are baked into the traced graph as
-    constants by :func:`enable_int8`'s ``static_amax``."""
-    import jax
+    Works from either mode: the stats trace always runs with the dynamic
+    branch active (saved/restored around the call) so the sites sow.
+    Feed it REPRESENTATIVE batches (e.g. the eval loop's first K
+    preprocessed batches, reduced with elementwise max across calls) —
+    :func:`scales_variables` turns the result into the ``quant_scales``
+    collection the static path reads."""
+    global _STATIC
+    assert _INT8, "enable_int8 first — otherwise no QuantConv sites exist to calibrate"
 
     @jax.jit
     def run(v, *ins):
         _, stats = model.apply(v, *ins, mutable=["quant_stats"], **apply_kwargs)
-        return stats["quant_stats"]
+        return stats.get("quant_stats", {})
 
-    stats = jax.device_get(run(variables, *inputs))
+    variables = {k: v for k, v in variables.items() if k != "quant_scales"}
+    return harvest_amax(run, variables, inputs)
+
+
+def harvest_amax(stats_fn, variables, inputs: tuple) -> dict:
+    """Run a jitted stats forward (returning the ``quant_stats`` tree) with
+    the dynamic branch forced active, and flatten the sown per-channel
+    ranges to ``{site_path: [ci] max|x|}``. Raises if nothing sowed."""
+    global _STATIC
+    prev_static = _STATIC
+    _STATIC = False  # the stats trace must take the sowing (dynamic) branch
+    try:
+        stats = jax.device_get(stats_fn(variables, *inputs))
+    finally:
+        _STATIC = prev_static
     flat = {}
 
     def walk(prefix, node):
@@ -113,10 +167,52 @@ def collect_amax(model, variables, inputs: tuple, **apply_kwargs) -> dict:
             if isinstance(v, dict):
                 walk(prefix + [k], v)
             elif k == "amax":
-                flat["/".join(prefix)] = float(jnp.asarray(v).max())
+                flat["/".join(prefix)] = np.asarray(v, np.float32).reshape(-1)
 
     walk([], stats)
+    if not flat:
+        raise ValueError(
+            "calibration forward sowed zero quant sites — every conv fell "
+            "below min_in_channels (=%d)? Lower COSNET_INT8_MIN_CI or check "
+            "that the model actually builds QuantConvs." % _MIN_IN_CHANNELS)
     return flat
+
+
+def merge_amax(a: dict, b: dict) -> dict:
+    """Elementwise-max combine of two :func:`collect_amax` results
+    (multi-batch calibration: ranges cover the union of the batches)."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = np.maximum(out[k], v) if k in out else v
+    return out
+
+
+def scales_variables(amax_flat: dict, drop_pattern: str = None) -> dict:
+    """Build the ``quant_scales`` collection tree from :func:`collect_amax`
+    output: ``{site}/amax -> [ci] f32`` with the per-channel relative floor
+    applied (:func:`channel_floor`).
+
+    ``drop_pattern`` (default: env ``COSNET_INT8_DYNAMIC_SITES`` regex):
+    sites matching it are omitted — they fall back to dynamic per-tensor
+    scales at runtime (the drift-bisection / outlier-site escape hatch)."""
+    import re
+
+    pattern = drop_pattern if drop_pattern is not None else os.environ.get(
+        "COSNET_INT8_DYNAMIC_SITES", "")
+    rx = re.compile(pattern) if pattern else None
+    floor = channel_floor()
+    tree = {}
+    for path, arr in amax_flat.items():
+        if rx is not None and rx.search(path):
+            continue
+        a = np.asarray(arr, np.float32)
+        if a.size and a.max() > 0:
+            a = np.maximum(a, floor * a.max())
+        node = tree
+        for part in path.split("/"):
+            node = node.setdefault(part, {})
+        node["amax"] = a
+    return tree
 
 
 class QuantConv(nn.Module):
@@ -154,34 +250,52 @@ class QuantConv(nn.Module):
                 y = y + self.param("bias", self.bias_init, (self.features,),
                                    jnp.float32).astype(self.dtype)
             return y
-        # per-output-channel symmetric weight scale
-        w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
-        kq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
         x_f = x.astype(jnp.float32)
-        site = "/".join(self.scope.path)
-        amax = _STATIC_AMAX.get(site)
-        if amax is not None:
-            # Static calibrated scale: the quantize below is pure
-            # elementwise, so XLA fuses it into the producer's epilogue and
-            # this conv's input streams through HBM as int8.
-            x_scale = max(amax, 1e-12) * amax_headroom() / 127.0
+        static_here = (_STATIC and not self.is_initializing()
+                       and self.has_variable("quant_scales", "amax"))
+        if static_here:
+            # Calibrated per-input-channel scales, read from the session's
+            # variable tree (runtime input — recalibration never retraces).
+            # The quantize below is pure elementwise, so XLA fuses it into
+            # the producer's epilogue and this conv's input streams through
+            # HBM as int8; the [ci] scales fold into the weight quantization
+            # so the MAC/rescale are identical to the scalar form.
+            amax_c = self.get_variable("quant_scales", "amax")
+            sx = jnp.maximum(amax_c, 1e-12) * (amax_headroom() / 127.0)  # [ci]
+            # Multiply by the precomputed reciprocal, never divide: the
+            # scales are runtime vectors, so a literal x/sx emits a true
+            # VPU divide per element — measured +17 ms/step over the whole
+            # activation stream vs the constant-scale form (docs/PERF_r5.md).
+            # Computing 1/sx once ([ci] vector) restores the multiply.
+            inv_sx = 1.0 / sx
+            xq = jnp.clip(jnp.round(x_f * inv_sx), -127, 127).astype(jnp.int8)
+            w_eff = kernel * sx[:, None]  # fold activation scales into weights
+            w_scale = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)), 1e-12) / 127.0
+            kq = jnp.clip(jnp.round(w_eff * (1.0 / w_scale)), -127, 127).astype(jnp.int8)
+            out_scale = w_scale  # x-scale already inside w_eff
         else:
             # Dynamic per-tensor scale — one max-reduction over the input
-            # per call. Sown so a calibration pass (collect_amax) can
-            # harvest the observed range for the static path.
-            amax_dyn = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-12)
+            # per call. Sown per input channel so a calibration pass
+            # (collect_amax) can harvest the observed ranges for the static
+            # path; sow is a no-op unless quant_stats is mutable.
+            amax_ch = jnp.max(jnp.abs(x_f), axis=tuple(range(x_f.ndim - 1)))
+            amax_dyn = jnp.maximum(jnp.max(amax_ch), 1e-12)
             if not self.is_initializing():  # keep init param trees identical
-                self.sow("quant_stats", "amax", amax_dyn,
+                self.sow("quant_stats", "amax", amax_ch,
                          reduce_fn=jnp.maximum,
-                         init_fn=lambda: jnp.zeros((), jnp.float32))
+                         init_fn=lambda: jnp.zeros((ci,), jnp.float32))
             x_scale = amax_dyn / 127.0
-        xq = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+            xq = jnp.clip(jnp.round(x_f * (1.0 / x_scale)), -127, 127).astype(jnp.int8)
+            # per-output-channel symmetric weight scale
+            w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+            kq = jnp.clip(jnp.round(kernel * (1.0 / w_scale)), -127, 127).astype(jnp.int8)
+            out_scale = x_scale * w_scale
         dn = jax.lax.conv_dimension_numbers(x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
         acc = jax.lax.conv_general_dilated(
             xq, kq, window_strides=self.strides, padding=self.padding,
             rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
             preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (x_scale * w_scale)
+        y = acc.astype(jnp.float32) * out_scale
         if self.use_bias:
             y = y + self.param("bias", self.bias_init, (self.features,), jnp.float32)
         return y.astype(self.dtype)

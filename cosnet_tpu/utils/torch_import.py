@@ -173,14 +173,26 @@ def merge_variables(base: dict, update: dict) -> dict:
 
 
 def fully_covers(base: dict, update: dict) -> bool:
-    """True iff EVERY leaf path of ``base`` exists in ``update`` — i.e. a
-    merge would overwrite the whole tree and ``base``'s values are dead
-    (lets the serving path skip computing real init values)."""
+    """True iff EVERY leaf path of ``base`` exists in ``update`` with a
+    compatible leaf — i.e. a merge would overwrite the whole tree and
+    ``base``'s values are dead (lets the serving path skip computing real
+    init values). Leaf-compatible means the update value is a non-dict of
+    the same element count (merge_variables reshapes, so layout may
+    differ); any mismatch returns False and the caller falls back to real
+    init + merge, which reports the problem diagnosably."""
     for k, v in base.items():
         if k not in update:
             return False
         if isinstance(v, dict):
             if not isinstance(update[k], dict) or not fully_covers(v, update[k]):
+                return False
+        else:
+            if isinstance(update[k], dict):
+                return False
+            base_shape = getattr(v, "shape", None)  # ShapeDtypeStruct or array
+            if base_shape is None:
+                base_shape = np.shape(v)
+            if int(np.size(update[k])) != int(np.prod(base_shape, dtype=np.int64)):
                 return False
     return True
 

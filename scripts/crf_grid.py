@@ -33,8 +33,13 @@ from train_synth_ckpt import ensure_checkpoint  # noqa: E402
 EVIDENCE = os.path.join(REPO, "docs", "evidence")
 
 
-def collect_triples(ckpt: str, tree: str, max_frames: int):
-    """(mask_u8, guide, gt) per frame from the host-path eval pipeline."""
+def collect_triples(ckpt: str, tree: str, max_frames: int, davis: bool = False):
+    """(mask_u8, guide, gt) per frame from the host-path eval pipeline.
+
+    ``davis``: the STRUCTURED synthetic DAVIS tree + the trained RGB-only
+    (ori) model — frames with real object boundaries, closing the round-4
+    grid's stated blind spot (noise frames gave the bilateral kernel no
+    edge structure to use; CRF_GRID_r04.json verdict caveat)."""
     import jax.numpy as jnp
     import yaml
 
@@ -46,12 +51,25 @@ def collect_triples(ckpt: str, tree: str, max_frames: int):
     enable_compile_cache()
     with open(os.path.join(REPO, "config.yaml")) as f:
         user_config = yaml.safe_load(f)
-    user_config["test"]["dataset"]["sbmrgbd"]["data_path"] = tree
-    user_config["test"]["dataset"]["sbmrgbd"]["subset"] = None
-    ds_cfg, _ = cfg.test_dataset_config(user_config, "sbmrgbd")
-    session = EvalSession("resnet_aspp_add", dtype="bfloat16", pretrained=ckpt)
-    assert session.pretrained_loaded, ckpt
-    db = build_test_dataset("sbmrgbd", ds_cfg, 8)
+    if davis:
+        d = user_config["test"]["dataset"]["davis"]
+        d["data_path"] = tree
+        d["img_path"] = os.path.join(tree, "JPEGImages/480p/")
+        d["annotation_path"] = os.path.join(tree, "Annotations/480p/")
+        d["subset_file"] = os.path.join(tree, "val_seqs.txt")
+        ds_cfg, davis_subset_file = cfg.test_dataset_config(user_config, "davis")
+        session = EvalSession("original_coattention_rgb", dtype="bfloat16",
+                              pretrained=ckpt)
+        assert session.pretrained_loaded, ckpt
+        db = build_test_dataset("davis", ds_cfg, 8,
+                                davis_subset_file=davis_subset_file)
+    else:
+        user_config["test"]["dataset"]["sbmrgbd"]["data_path"] = tree
+        user_config["test"]["dataset"]["sbmrgbd"]["subset"] = None
+        ds_cfg, _ = cfg.test_dataset_config(user_config, "sbmrgbd")
+        session = EvalSession("resnet_aspp_add", dtype="bfloat16", pretrained=ckpt)
+        assert session.pretrained_loaded, ckpt
+        db = build_test_dataset("sbmrgbd", ds_cfg, 8)
     forward = session.forward_fn(as_uint8=True)
     triples = []
     for batch in BatchLoader(db, batch_size=8, shuffle=False, drop_last=True):
@@ -87,12 +105,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--frames", type=int, default=48)
-    ap.add_argument("--out", default=os.path.join(EVIDENCE, "CRF_GRID_r04.json"))
+    ap.add_argument("--davis", action="store_true",
+                    help="structured DAVIS tree + trained ori ckpt (real "
+                         "object boundaries for the bilateral kernel)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(
+            EVIDENCE, "CRF_GRID_r05_davis.json" if args.davis else "CRF_GRID_r04.json")
 
-    ckpt = ensure_checkpoint(args.epochs)
-    tree = "/tmp/cosnet_bench_sbm"
-    triples = collect_triples(ckpt, tree, args.frames)
+    if args.davis:
+        from make_aux_trees import build_davis
+        from train_synth_ckpt import ensure_ori_checkpoint
+
+        ckpt = ensure_ori_checkpoint()
+        tree = build_davis("/tmp/cosnet_davis_tree")
+    else:
+        ckpt = ensure_checkpoint(args.epochs)
+        tree = "/tmp/cosnet_bench_sbm"
+    triples = collect_triples(ckpt, tree, args.frames, davis=args.davis)
     print(f"{len(triples)} frames cached", flush=True)
 
     iou0, f0 = score(triples)
@@ -124,6 +155,8 @@ def main():
                   f"(best {best['delta_iou']:+.6f})", flush=True)
 
     report = {
+        "mode": ("structured DAVIS tree, trained ori (RGB-only) model"
+                 if args.davis else "noise sbm tree, trained raa model"),
         "checkpoint": os.path.basename(ckpt), "frames": len(triples),
         "iou_no_crf": iou0, "f_no_crf": f0,
         "default_params": results[0],

@@ -1,22 +1,31 @@
 #!/usr/bin/env python
-"""Numerics-fingerprint drives with a TRAINED checkpoint (VERDICT r3 #5).
+"""Numerics-fingerprint drives with TRAINED checkpoints (VERDICT r3 #5, r4 #1/#3).
 
-Runs the REAL ``test.py`` on the synthetic tree once per mode — f32 host
-path, bf16 host path, int8, --device-preprocess, --frame-pool,
---device-metrics — all loading the shared trained checkpoint
-(scripts/train_synth_ckpt.py), and records each mode's final IoU/F plus its
-delta vs the bf16 host path. With unsaturated masks the gates can move:
-int8 is EXPECTED to drift by a small nonzero amount (dynamic symmetric
-quantization), while device-preprocess/frame-pool/device-metrics must stay
-bitwise at uint8 scale (they reorder transfers, not arithmetic;
-device-metrics is integer-exact by construction, eval/metrics.py).
+Runs the REAL ``test.py`` once per mode — f32 host path, bf16 host path,
+int8 (dynamic), int8-static (calibrated per-channel scales),
+--device-preprocess, --frame-pool, --device-metrics — and records each
+mode's final IoU/F plus its delta vs the bf16 host path. With unsaturated
+masks the gates can move: int8 is EXPECTED to drift by a small nonzero
+amount (8-bit symmetric quantization), while device-preprocess/frame-pool/
+device-metrics must stay bitwise at uint8 scale (they reorder transfers,
+not arithmetic; device-metrics is integer-exact by construction,
+eval/metrics.py).
+
+Two model families (round 5):
+  * raa on the synthetic SBM-RGBD tree (scripts/train_synth_ckpt.py ckpt);
+  * ori (RGB-only co-attention) on the STRUCTURED synthetic DAVIS tree
+    (ensure_ori_checkpoint) — the reference's primary lineage
+    (/root/reference/config.yaml:1-28), previously only fresh-init.
+
+Round-5 gate (VERDICT r4 top_next): int8-static ΔF vs bf16 must be
+<= 5e-3 — round 4's single-batch per-tensor calibration drifted +1.37e-2.
 
 Reference semantics being fingerprinted: the soft-IoU/F of
 ``/root/reference/evaluation.py:3-21`` over the eval loop of
 ``/root/reference/test.py:278-344``.
 
-Usage: python scripts/fingerprint_drives.py [--epochs 4]
-Writes docs/evidence/FINGERPRINTS_r04.json.
+Usage: python scripts/fingerprint_drives.py [--epochs 4] [--skip-ori]
+Writes docs/evidence/FINGERPRINTS_r05.json.
 """
 import argparse
 import json
@@ -31,7 +40,7 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVIDENCE = os.path.join(REPO, "docs", "evidence")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from train_synth_ckpt import ensure_checkpoint  # noqa: E402
+from train_synth_ckpt import ensure_checkpoint, ensure_ori_checkpoint  # noqa: E402
 
 MODES = {
     "f32_host": ["--dtype", "float32"],
@@ -44,26 +53,38 @@ MODES = {
     "device_metrics": ["--dtype", "bfloat16", "--device-preprocess",
                        "--frame-pool", "256", "--device-metrics"],
 }
+# the device-staging modes are sbmrgbd-only (runner gates them); the ori
+# family drives the numerics modes
+ORI_MODES = {k: MODES[k] for k in ("f32_host", "bf16_host", "int8", "int8_static")}
 
 
-def eval_mode(tree: str, pth: str, extra) -> tuple:
+def eval_mode(dataset: str, model: str, tree: str, pth: str, extra) -> tuple:
     with open(os.path.join(REPO, "config.yaml")) as f:
         config = yaml.safe_load(f)
-    t = config["test"]["dataset"]["sbmrgbd"]
-    t["data_path"] = tree
-    t["subset"] = None
-    config["test"]["model"]["resnet_aspp_add"]["pretrained_params"] = pth
+    if dataset == "sbmrgbd":
+        t = config["test"]["dataset"]["sbmrgbd"]
+        t["data_path"] = tree
+        t["subset"] = None
+        config["test"]["model"]["resnet_aspp_add"]["pretrained_params"] = pth
+    else:  # davis
+        t = config["test"]["dataset"]["davis"]
+        t["data_path"] = tree
+        t["img_path"] = os.path.join(tree, "JPEGImages/480p/")
+        t["annotation_path"] = os.path.join(tree, "Annotations/480p/")
+        t["subset_file"] = os.path.join(tree, "val_seqs.txt")
+        config["test"]["model"].setdefault("original_coattention_rgb", {})[
+            "pretrained_params"] = pth
     workdir = tempfile.mkdtemp(prefix="cosnet_fp_")
     with open(os.path.join(workdir, "config.yaml"), "w") as f:
         yaml.safe_dump(config, f)
     existing = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ, PYTHONPATH=f"{REPO}:{existing}" if existing else REPO)
-    cmd = [sys.executable, os.path.join(REPO, "test.py"), "--dataset", "sbmrgbd",
-           "--model", "raa", "--batch_size", "8", "--no-shuffle",
+    cmd = [sys.executable, os.path.join(REPO, "test.py"), "--dataset", dataset,
+           "--model", model, "--batch_size", "8", "--no-shuffle",
            "--save_seg_img", ""] + list(extra)
-    print("+", " ".join(cmd), flush=True)
+    print("+", " ".join(cmd), "  [workdir", workdir + "]", flush=True)
     proc = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True,
-                          text=True, timeout=3600)
+                          text=True, timeout=5400)
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:])
         sys.exit(f"test.py failed ({proc.returncode})")
@@ -72,26 +93,40 @@ def eval_mode(tree: str, pth: str, extra) -> tuple:
     return float(m.group(1)), float(m.group(2))
 
 
+def drive_family(name, dataset, model, tree, pth, modes, report):
+    fam = {"checkpoint": os.path.basename(pth), "modes": {}}
+    for mode, extra in modes.items():
+        iou, f = eval_mode(dataset, model, tree, pth, extra)
+        fam["modes"][mode] = {"iou": iou, "f": f}
+        print(f"  {name}/{mode}: IoU={iou:.10f} F={f:.10f}", flush=True)
+    ref = fam["modes"]["bf16_host"]
+    for mode, r in fam["modes"].items():
+        r["delta_iou_vs_bf16_host"] = r["iou"] - ref["iou"]
+        r["delta_f_vs_bf16_host"] = r["f"] - ref["f"]
+    report[name] = fam
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=4)
-    ap.add_argument("--out", default=os.path.join(EVIDENCE, "FINGERPRINTS_r04.json"))
+    ap.add_argument("--skip-ori", action="store_true")
+    ap.add_argument("--skip-raa", action="store_true")
+    ap.add_argument("--out", default=os.path.join(EVIDENCE, "FINGERPRINTS_r05.json"))
     args = ap.parse_args()
 
-    pth = ensure_checkpoint(args.epochs)
-    print("checkpoint:", pth, flush=True)
-    tree = "/tmp/cosnet_bench_sbm"
+    report = {}
+    if not args.skip_raa:
+        pth = ensure_checkpoint(args.epochs)
+        print("raa checkpoint:", pth, flush=True)
+        drive_family("raa_sbmrgbd", "sbmrgbd", "raa", "/tmp/cosnet_bench_sbm",
+                     pth, MODES, report)
+    if not args.skip_ori:
+        from make_aux_trees import build_davis
 
-    report = {"checkpoint": os.path.basename(pth), "trained_epochs": args.epochs,
-              "modes": {}}
-    for name, extra in MODES.items():
-        iou, f = eval_mode(tree, pth, extra)
-        report["modes"][name] = {"iou": iou, "f": f}
-        print(f"  {name}: IoU={iou:.10f} F={f:.10f}", flush=True)
-    ref = report["modes"]["bf16_host"]
-    for name, r in report["modes"].items():
-        r["delta_iou_vs_bf16_host"] = r["iou"] - ref["iou"]
-        r["delta_f_vs_bf16_host"] = r["f"] - ref["f"]
+        ori_pth = ensure_ori_checkpoint()
+        tree = build_davis("/tmp/cosnet_davis_tree")
+        print("ori checkpoint:", ori_pth, flush=True)
+        drive_family("ori_davis", "davis", "ori", tree, ori_pth, ORI_MODES, report)
     os.makedirs(EVIDENCE, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

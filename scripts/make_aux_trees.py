@@ -55,22 +55,49 @@ def build_hzfu(root: str) -> str:
 
 
 def build_davis(root: str, frames_per_seq: int = 12) -> str:
+    """STRUCTURED synthetic DAVIS: a textured elliptical object translating
+    over a static textured background, GT tracking the object.
+
+    Round 4's noise-frame tree supported mechanism-only drives (VERDICT r4:
+    fresh-init ori, F-measure 0.0) and left the CRF grid's verdict caveated
+    — a bilateral kernel is meaningless on frames with no edge structure.
+    These frames have (a) appearance/background separation a short training
+    run can learn, (b) real object boundaries for the CRF's color kernel,
+    (c) inter-frame motion so co-attention between target and reference
+    frames carries signal. Deterministic (seeded) for reproducible drives.
+    """
     import cv2
 
-    marker = os.path.join(root, ".done")
+    marker = os.path.join(root, ".done_v2_structured")
     if os.path.exists(marker):
         return root
     rng = np.random.default_rng(12)
     H, W = 480, 854
-    seqs = ["blackswan", "camel"]
-    for seq in seqs:
+    seqs = {"blackswan": ((30, 40, 190), 95, 65), "camel": ((40, 170, 180), 120, 80)}
+    for seq, (color, ax0, ax1) in seqs.items():
         os.makedirs(os.path.join(root, "JPEGImages", "480p", seq), exist_ok=True)
         os.makedirs(os.path.join(root, "Annotations", "480p", seq), exist_ok=True)
+        # static-camera background: smooth gradient + fixed blurred texture
+        yy, xx = np.mgrid[0:H, 0:W]
+        bg = np.stack([40 + 60 * yy / H, 90 + 50 * xx / W, 70 + 40 * yy / H],
+                      axis=-1)
+        tex = cv2.GaussianBlur(
+            rng.normal(0, 22, (H, W, 3)).astype(np.float32), (0, 0), 3)
+        bg = np.clip(bg + tex, 0, 255)
+        obj_tex = cv2.GaussianBlur(
+            rng.normal(0, 18, (H, W, 3)).astype(np.float32), (0, 0), 2)
         for i in range(frames_per_seq):
-            cv2.imwrite(os.path.join(root, "JPEGImages", "480p", seq, f"{i:05d}.jpg"),
-                        rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+            t = i / max(frames_per_seq - 1, 1)
+            cx = int(W * (0.25 + 0.5 * t))  # translate left -> right
+            cy = int(H * (0.45 + 0.12 * np.sin(2 * np.pi * t)))
             gt = np.zeros((H, W), np.uint8)
-            gt[150:330, 250:600] = 255
+            cv2.ellipse(gt, (cx, cy), (ax0, ax1), 20 * t, 0, 360, 255, -1)
+            frame = bg.copy()
+            m = gt > 0
+            frame[m] = np.clip(np.asarray(color, np.float32) + obj_tex[m], 0, 255)
+            frame += rng.normal(0, 4, frame.shape)  # per-frame sensor noise
+            cv2.imwrite(os.path.join(root, "JPEGImages", "480p", seq, f"{i:05d}.jpg"),
+                        np.clip(frame, 0, 255).astype(np.uint8))
             cv2.imwrite(os.path.join(root, "Annotations", "480p", seq, f"{i:05d}.png"), gt)
     with open(os.path.join(root, "val_seqs.txt"), "w") as f:
         f.write("".join(s + "\n" for s in seqs))

@@ -98,8 +98,9 @@ def main():
     elif args.quantize == "int8-static":
         from cosnet_tpu.nn.quant import enable_int8
 
-        enable_int8(min_in_channels=int(os.environ.get("COSNET_INT8_MIN_CI", "64")))
-        print("=====> int8 quantized inference (static scales; calibrating on job 1)")
+        enable_int8(min_in_channels=int(os.environ.get("COSNET_INT8_MIN_CI", "64")),
+                    static=True)
+        print("=====> int8 quantized inference (static scales; calibrating per job)")
     pretrained = cfg.test_pretrained_params(user_config, full_name)
     t_init = time.time()
     session = EvalSession(
@@ -135,6 +136,7 @@ def main():
                "init_breakdown_s": session.init_breakdown,
                "data_parallel": bool(session.mesh is not None), "jobs": {}}
     print(f"=====> session init {init_s:.1f} s  {session.init_breakdown}")
+    prev_amax = None  # previous job's calibrated ranges (clip telemetry)
     for name, dataset, ds_cfg, davis_subset_file in jobs:
         print(f"=====> job {name}: {len(ds_cfg.subset or {})} sequences"
               if ds_cfg.subset else f"=====> job {name}")
@@ -149,15 +151,31 @@ def main():
                                 keep_remainder=True)
         if args.quantize == "int8-static":
             from cosnet_tpu.eval.runner import calibrate_static_int8
-            from cosnet_tpu.nn.quant import static_amax
+            from cosnet_tpu.nn.quant import amax_headroom
 
-            if not static_amax():  # calibrate once, on the first job
-                calib_db = db if not args.device_preprocess else build_test_dataset(
-                    dataset, ds_cfg, args.batch_size,
-                    davis_subset_file=davis_subset_file, raw_eval=False,
-                    keep_remainder=True)
-                amax = calibrate_static_int8(session, calib_db, args.batch_size)
+            # Re-calibrate on EVERY job's leading batches: scales live in the
+            # session's variable tree as runtime inputs, so this reuses the
+            # already-compiled executables outright (values change, the HLO
+            # doesn't). Cross-dataset scale reuse silently clipped
+            # out-of-distribution activations in round 4 (advisor finding):
+            # sbmrgbd-calibrated ranges applied to hzfu jobs had no gate.
+            calib_db = db if not args.device_preprocess else build_test_dataset(
+                dataset, ds_cfg, args.batch_size,
+                davis_subset_file=davis_subset_file, raw_eval=False,
+                keep_remainder=True)
+            amax = calibrate_static_int8(session, calib_db, args.batch_size)
+            if prev_amax is not None:
+                # clip telemetry: sites whose NEW observed range exceeds the
+                # previous job's scale (would have clipped had we reused it)
+                hr = amax_headroom()
+                clipped = [k for k, v in amax.items()
+                           if k in prev_amax and v.max() > prev_amax[k].max() * hr]
+                print(f"=====> job {name}: recalibrated {len(amax)} int8 sites; "
+                      f"{len(clipped)} would have clipped under the previous "
+                      f"job's scales")
+            else:
                 print(f"=====> calibrated {len(amax)} int8 conv sites (job {name})")
+            prev_amax = amax
         out_dir = None
         if args.save_seg_img:
             out_dir = os.path.join(result_dir, "obj_seg_imgs", name.replace("/", "_"))

@@ -157,8 +157,9 @@ def main():
         # Static scales remove the per-conv quantize pass (it fuses into the
         # producer epilogue), so the coverage threshold can drop below the
         # dynamic path's 512 sweet spot. Calibration happens on the first
-        # batch below, after the dataset is built.
-        enable_int8(min_in_channels=int(os.environ.get("COSNET_INT8_MIN_CI", "64")))
+        # batches below, after the dataset is built.
+        enable_int8(min_in_channels=int(os.environ.get("COSNET_INT8_MIN_CI", "64")),
+                    static=True)
         print("=====> int8 quantized inference (static calibrated scales)")
 
     pretrained = cfg.test_pretrained_params(user_config, full_name)
@@ -180,12 +181,13 @@ def main():
     if args.quantize == "int8-static":
         from cosnet_tpu.eval.runner import calibrate_static_int8
 
-        # Calibrate on the first HOST-PATH batch (raw mode stages uint8, so
-        # it builds a float twin of the dataset just for this one batch).
+        # Calibrate on the first HOST-PATH batches (raw mode stages uint8, so
+        # it builds a float twin of the dataset just for these batches).
         calib_db = db_test if not args.device_preprocess else build_test_dataset(
             args.dataset, ds_cfg, batch_size, davis_subset_file, raw_eval=False)
         amax = calibrate_static_int8(session, calib_db, batch_size)
-        print(f"=====> calibrated {len(amax)} int8 conv sites on the first batch")
+        print(f"=====> calibrated {len(amax)} int8 conv sites "
+              f"(per-input-channel scales)")
 
     apply_crf = str(args.use_crf).lower() in ("true", "1", "yes", "crf")
     if apply_crf:
@@ -196,7 +198,7 @@ def main():
         output_img_dir = os.path.join(result_dir, "obj_seg_imgs")
         os.makedirs(output_img_dir, exist_ok=True)
 
-    session.run(
+    res = session.run(
         db_test, ds_cfg, logger,
         batch_size=batch_size,
         shuffle=not args.no_shuffle,
@@ -206,6 +208,10 @@ def main():
         frame_pool_mb=args.frame_pool,
         device_metrics=args.device_metrics,
     )
+    if "ladder_ms_per_frame" in res:  # COSNET_EVAL_LADDER=1 attribution mode
+        import json
+
+        print("LADDER " + json.dumps(res["ladder_ms_per_frame"]), flush=True)
     logger.close()
 
 

@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Isolate the fresh-init disk cache (models.py::init_variables cache_key):
+# tests must neither read a stale user-level cache nor write tiny-model
+# trees into it.
+import tempfile  # noqa: E402
+
+os.environ["COSNET_INIT_CACHE"] = tempfile.mkdtemp(prefix="cosnet_init_test_")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -82,11 +82,18 @@ def test_quantconv_matches_f32_conv_closely():
     assert np.abs(y - yq).max() / denom < 0.02
 
 
+def _static_variables(variables, amax):
+    import jax.numpy as jnp
+
+    return dict(variables, quant_scales=jax.tree.map(
+        jnp.asarray, quant.scales_variables(amax)))
+
+
 def test_int8_static_scales_match_dynamic():
     """Static calibrated scales (the residual-stream form: requantize folded
     into the producer epilogue) must agree with the dynamic path when
-    calibrated on the same batch — the only difference is the headroom
-    factor on the scale, a sub-LSB perturbation at 8 bits."""
+    calibrated on the same batch — per-input-channel scales are a finer
+    partition of the same observed range, so masks agree at uint8 scale."""
     model = _tiny()
     a, b, da, db = _inputs()
     variables = model.init(jax.random.key(1), a, b, da, db, train=False)
@@ -94,16 +101,91 @@ def test_int8_static_scales_match_dynamic():
     quant.enable_int8()
     try:
         amax = quant.collect_amax(model, variables, (a, b, da, db), train=False)
-        assert amax and all(v >= 0 for v in amax.values())
+        assert amax and all(np.all(v >= 0) for v in amax.values())
+        # per-channel vectors: conv sites carry one range per input channel
+        assert any(v.size > 1 for v in amax.values())
         x_dyn, _, _ = _tiny().apply(variables, a, b, da, db, train=False)
-        quant.enable_int8(static_amax=amax)
-        x_sta, _, _ = _tiny().apply(variables, a, b, da, db, train=False)
+        quant.enable_int8(static=True)
+        x_sta, _, _ = _tiny().apply(_static_variables(variables, amax),
+                                    a, b, da, db, train=False)
     finally:
         quant.disable_int8()
     m_dyn = (np.asarray(x_dyn) * 255).astype(np.uint8)
     m_sta = (np.asarray(x_sta) * 255).astype(np.uint8)
     close = np.mean(np.abs(m_dyn.astype(np.int16) - m_sta.astype(np.int16)) <= 2)
     assert close > 0.99, close
+
+
+def test_int8_static_missing_sites_fall_back_to_dynamic():
+    """A site dropped from the calibration dict (mixed static/dynamic —
+    the drift-bisection escape hatch) must run with dynamic scales instead
+    of failing; the output still agrees with the all-dynamic path."""
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+
+    quant.enable_int8()
+    try:
+        amax = quant.collect_amax(model, variables, (a, b, da, db), train=False)
+        x_dyn, _, _ = _tiny().apply(variables, a, b, da, db, train=False)
+        # drop every encoder site -> those fall back to dynamic at runtime
+        kept = {k: v for k, v in amax.items() if "depth" in k}
+        assert 0 < len(kept) < len(amax)
+        quant.enable_int8(static=True)
+        x_mix, _, _ = _tiny().apply(_static_variables(variables, kept),
+                                    a, b, da, db, train=False)
+    finally:
+        quant.disable_int8()
+    m_dyn = (np.asarray(x_dyn) * 255).astype(np.uint8)
+    m_mix = (np.asarray(x_mix) * 255).astype(np.uint8)
+    close = np.mean(np.abs(m_dyn.astype(np.int16) - m_mix.astype(np.int16)) <= 2)
+    assert close > 0.99, close
+
+
+def test_int8_static_recalibration_reuses_compiled_forward():
+    """Scales are RUNTIME inputs (the quant_scales collection), so feeding
+    new calibration values must hit the same compiled executable — the
+    property serve.py's per-job recalibration relies on."""
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+
+    quant.enable_int8()
+    try:
+        amax1 = quant.collect_amax(model, variables, (a, b, da, db), train=False)
+        a2, b2, da2, db2 = _inputs(seed=11)
+        amax2 = quant.collect_amax(model, variables, (a2, b2, da2, db2), train=False)
+        quant.enable_int8(static=True)
+        fwd = jax.jit(lambda v, *ins: _tiny().apply(v, *ins, train=False)[0])
+        fwd(_static_variables(variables, amax1), a, b, da, db).block_until_ready()
+        n_compiles = fwd._cache_size()
+        fwd(_static_variables(variables, amax2), a, b, da, db).block_until_ready()
+        assert fwd._cache_size() == n_compiles  # same structure -> no retrace
+    finally:
+        quant.disable_int8()
+
+
+def test_merge_amax_elementwise_max():
+    a = {"s1": np.array([1.0, 5.0]), "s2": np.array([2.0])}
+    b = {"s1": np.array([3.0, 4.0]), "s3": np.array([7.0])}
+    m = quant.merge_amax(a, b)
+    np.testing.assert_allclose(m["s1"], [3.0, 5.0])
+    np.testing.assert_allclose(m["s2"], [2.0])
+    np.testing.assert_allclose(m["s3"], [7.0])
+
+
+def test_collect_amax_zero_sites_is_a_clear_error():
+    """min_in_channels above every conv width must raise a diagnosable
+    error, not a KeyError on a missing stats collection (advisor r4)."""
+    model = _tiny()
+    a, b, da, db = _inputs()
+    variables = model.init(jax.random.key(1), a, b, da, db, train=False)
+    quant.enable_int8(min_in_channels=1 << 20)
+    try:
+        with pytest.raises(ValueError, match="zero quant sites"):
+            quant.collect_amax(model, variables, (a, b, da, db), train=False)
+    finally:
+        quant.disable_int8()
 
 
 def test_int8_static_drops_activation_max_reduce():
@@ -126,7 +208,8 @@ def test_int8_static_drops_activation_max_reduce():
     try:
         amax = quant.collect_amax(model, variables, (a, b, da, db), train=False)
         dyn = lower_text()
-        quant.enable_int8(static_amax=amax)
+        quant.enable_int8(static=True)
+        variables = _static_variables(variables, amax)
         sta = lower_text()
     finally:
         quant.disable_int8()

@@ -201,3 +201,28 @@ def test_session_run_data_parallel_matches(tree, tiny_model, tmp_path):
     # uint8 mask space: metrics agree exactly
     assert dp["iou"] == single["iou"]
     assert dp["f_measure"] == single["f_measure"]
+
+
+def test_init_variables_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """Fresh-init fast path (VERDICT r4 #6): init_variables(cache_key=...)
+    memoizes the initialized tree on disk; a second call loads values
+    identical to a fresh init without running the init program."""
+    import jax
+
+    from cosnet_tpu.models import init_variables
+
+    monkeypatch.setenv("COSNET_INIT_CACHE", str(tmp_path / "init_cache"))
+    model = RGBDSegmentationRAA(block=Bottleneck, num_blocks_rgb=[1, 1, 1, 1],
+                                num_blocks_depth=[1, 1, 1, 1])
+    fresh = init_variables(model, n_inputs=4, hw=(32, 32))
+    cached_write = init_variables(model, n_inputs=4, hw=(32, 32),
+                                  cache_key="tiny_raa")
+    assert (tmp_path / "init_cache").exists()
+    cached_read = init_variables(model, n_inputs=4, hw=(32, 32),
+                                 cache_key="tiny_raa")
+    for a, b, c in zip(jax.tree.leaves(fresh), jax.tree.leaves(cached_write),
+                      jax.tree.leaves(cached_read)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert jax.tree.structure(jax.tree.map(np.shape, fresh)) == \
+        jax.tree.structure(jax.tree.map(np.shape, cached_read))
