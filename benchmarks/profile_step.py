@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--quantize-min-ci", type=int, default=0,
                     help="quantize only convs with >= this many input channels")
     ap.add_argument("--keep-trace", default="", help="directory to keep the trace in")
+    ap.add_argument("--dump-hlo", default="",
+                    help="write the COMPILED (post-optimization) HLO of the "
+                         "profiled program to this file — per-fusion "
+                         "diagnosis of the epilogue chains (cache-hit "
+                         "compile, so this is cheap once traced)")
     args = ap.parse_args()
 
     from cosnet_tpu.models import create_model, init_variables
@@ -113,7 +118,9 @@ def main():
         amax = quant.collect_amax(model, variables, tuple(imgs), train=False)
         variables = dict(variables, quant_scales=jax.tree.map(
             jnp.asarray, quant.scales_variables(amax)))
-        print(f"calibrated {len(amax)} conv sites (static per-channel int8 scales)")
+        n_ch = sum(v.size > 1 for v in amax.values())
+        print(f"calibrated {len(amax)} conv sites (static int8 scales; "
+              f"{n_ch} per-channel)")
 
     if args.multiref:
         from cosnet_tpu.eval.infer import build_multi_reference_forward
@@ -151,6 +158,10 @@ def main():
             return fwd(variables, *imgs)
 
     float(jnp.sum(jax.tree.leaves(run())[0]))  # compile + warm
+    if args.dump_hlo and not args.train and not args.multiref:
+        with open(args.dump_hlo, "w") as f:
+            f.write(fwd.lower(variables, *imgs).compile().as_text())
+        print("compiled HLO written to", args.dump_hlo)
     trace_dir = args.keep_trace or tempfile.mkdtemp(prefix="xplane_")
     with jax.profiler.trace(trace_dir):
         out = None

@@ -91,15 +91,22 @@ class ASPP(nn.Module):
         pooled = nn.relu(pooled)
         pooled = jnp.broadcast_to(pooled, (n, h, w, self.depth))
 
+        # int8-static: quantize the 2048-ch trunk output ONCE for the four
+        # big branch convs — per-site scales made the compiled graph write
+        # EIGHT s8 copies of this tensor (nn/quant.py::shared_quantize).
+        from cosnet_tpu.nn import quant
+
+        xs = quant.shared_quantize(self, x)
+
         # Branch 1: 1x1 (reference :63-65).
-        out0 = _biased_conv(self.depth, 1, self.input_channels, name="conv2d_0", dtype=self.dtype)(x)
+        out0 = _biased_conv(self.depth, 1, self.input_channels, name="conv2d_0", dtype=self.dtype)(xs)
         out0 = _bn("bn_0", self.dtype)(out0, use_running_average=ra)
         out0 = nn.relu(out0)
 
         # Branches 2-4: 3x3 atrous (reference :67-77).
         atrous = []
         for i, d in enumerate(self.dilations):
-            o = _biased_conv(self.depth, 3, self.input_channels, dilation=d, padding=d, name=f"conv2d_{i+1}", dtype=self.dtype)(x)
+            o = _biased_conv(self.depth, 3, self.input_channels, dilation=d, padding=d, name=f"conv2d_{i+1}", dtype=self.dtype)(xs)
             o = _bn(f"bn_{i+1}", self.dtype)(o, use_running_average=ra)
             atrous.append(nn.relu(o))
 

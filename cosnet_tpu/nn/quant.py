@@ -84,7 +84,12 @@ def enable_int8(min_in_channels: int = 0, static: bool = False):
     activation crosses HBM as int8 (the "residual stream int8" form).
     That removes the narrow-conv overhead, so ``min_in_channels`` can
     drop to cover the whole trunk. Sites missing from the collection run
-    with dynamic scales (mixed static/dynamic coverage)."""
+    with dynamic scales (mixed static/dynamic coverage).
+
+    (A trace-time-constant scale binding was measured and rejected:
+    150.5 ms vs the collection form's 150.2 — XLA gains nothing from
+    constant scales, and baked constants would force a full retrace per
+    recalibration; docs/PERF_r5.md.)"""
     global _INT8, _MIN_IN_CHANNELS, _STATIC
     _INT8 = True
     _MIN_IN_CHANNELS = min_in_channels
@@ -194,25 +199,100 @@ def scales_variables(amax_flat: dict, drop_pattern: str = None) -> dict:
 
     ``drop_pattern`` (default: env ``COSNET_INT8_DYNAMIC_SITES`` regex):
     sites matching it are omitted — they fall back to dynamic per-tensor
-    scales at runtime (the drift-bisection / outlier-site escape hatch)."""
+    scales at runtime (the drift-bisection / outlier-site escape hatch).
+
+    ``COSNET_INT8_PER_CHANNEL=0`` collapses each site's range to its max
+    (per-TENSOR static scales, the round-4 granularity): QuantConv then
+    skips the per-channel weight fold — measured ~9 % faster on the step
+    (docs/PERF_r5.md) at coarser quantization. Default is per-channel."""
     import re
 
     pattern = drop_pattern if drop_pattern is not None else os.environ.get(
         "COSNET_INT8_DYNAMIC_SITES", "")
     rx = re.compile(pattern) if pattern else None
+    per_channel = os.environ.get("COSNET_INT8_PER_CHANNEL", "1") != "0"
     floor = channel_floor()
     tree = {}
     for path, arr in amax_flat.items():
         if rx is not None and rx.search(path):
             continue
         a = np.asarray(arr, np.float32)
-        if a.size and a.max() > 0:
+        if not per_channel:
+            a = np.asarray(a.max() if a.size else 0.0, np.float32)  # shape ()
+        elif a.size and a.max() > 0:
             a = np.maximum(a, floor * a.max())
         node = tree
         for part in path.split("/"):
             node = node.setdefault(part, {})
         node["amax"] = a
     return tree
+
+
+def _quantize_weights(kernel, sx):
+    """Per-output-channel weight quantization against an activation scale.
+
+    Per-channel ``sx`` ([ci]): fold it into the kernel before quantizing —
+    ``Σ_c (x_c/s_c)·(w_c·s_c)`` is exact, so the finer activation
+    granularity costs nothing in the MAC or the rescale. Scalar ``sx``
+    (per-tensor static, COSNET_INT8_PER_CHANNEL=0): quantize the kernel
+    alone and carry ``sx`` in the output scale — skips the fold's extra
+    weight passes (the round-4 form)."""
+    sx = jnp.asarray(sx)
+    if sx.ndim == 0 or sx.size == 1:
+        w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+        kq = jnp.clip(jnp.round(kernel * (1.0 / w_scale)), -127, 127).astype(jnp.int8)
+        return kq, sx.reshape(()) * w_scale
+    w_eff = kernel * sx[:, None]
+    w_scale = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)), 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(w_eff * (1.0 / w_scale)), -127, 127).astype(jnp.int8)
+    return kq, w_scale  # activation scale already inside w_eff
+
+
+class QuantizedActivation:
+    """A tensor pre-quantized once for MULTIPLE consumer convs.
+
+    ``xq`` int8 values, ``sx`` per-input-channel dequant scales
+    (x ≈ xq·sx). Produced by :func:`shared_quantize`; consumed by
+    :class:`QuantConv`, which skips its own activation quantize and folds
+    ``sx`` into its weight quantization exactly as in the per-site path.
+    """
+
+    __slots__ = ("xq", "sx")
+
+    def __init__(self, xq, sx):
+        self.xq = xq
+        self.sx = sx
+
+
+def shared_quantize(mod: nn.Module, x, name: str = "amax"):
+    """Quantize ``x`` ONCE under ``mod``'s scope for several consumer convs.
+
+    Why: with per-site runtime scales, N convs reading the same activation
+    each emit their own quantize chain — structurally distinct HLO (each
+    reads a different scale variable), so XLA cannot CSE them. The compiled
+    r5 graph wrote EIGHT s8[8,61,107,2048] copies of the ASPP input
+    (~0.85 GB of redundant HBM writes per step, fused_computation.46 in
+    the dumped HLO). One shared site -> one s8 tensor.
+
+    Behavior by mode: static + calibrated -> returns
+    :class:`QuantizedActivation`; dynamic (incl. the calibration trace) ->
+    sows the per-channel range under ``mod``'s scope and returns ``x``
+    unchanged (dynamic per-site chains are identical expressions of the
+    same input, which XLA already CSEs); disabled/init/too-narrow -> ``x``.
+    """
+    ci = x.shape[-1]
+    if not _INT8 or ci < _MIN_IN_CHANNELS or mod.is_initializing():
+        return x
+    x_f = x.astype(jnp.float32)
+    if _STATIC and mod.has_variable("quant_scales", name):
+        amax_c = mod.get_variable("quant_scales", name)
+        sx = jnp.maximum(amax_c, 1e-12) * (amax_headroom() / 127.0)
+        xq = jnp.clip(jnp.round(x_f * (1.0 / sx)), -127, 127).astype(jnp.int8)
+        return QuantizedActivation(xq, sx)
+    amax_ch = jnp.max(jnp.abs(x_f), axis=tuple(range(x_f.ndim - 1)))
+    mod.sow("quant_stats", name, amax_ch, reduce_fn=jnp.maximum,
+            init_fn=lambda: jnp.zeros((ci,), jnp.float32))
+    return x
 
 
 class QuantConv(nn.Module):
@@ -235,10 +315,11 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ci = x.shape[-1]
+        pre = isinstance(x, QuantizedActivation)  # shared_quantize output
+        ci = (x.xq if pre else x).shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*self.kernel_size, ci, self.features), jnp.float32)
-        if ci < _MIN_IN_CHANNELS:
+        if not pre and ci < _MIN_IN_CHANNELS:
             # Narrow conv: quantize overhead outpaces the MXU win (see
             # enable_int8) — run the standard float path with the same params.
             dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
@@ -250,29 +331,38 @@ class QuantConv(nn.Module):
                 y = y + self.param("bias", self.bias_init, (self.features,),
                                    jnp.float32).astype(self.dtype)
             return y
+        if pre:
+            # Input quantized ONCE at the shared producer site; fold its
+            # scales into the weight quantization (same math as below).
+            xq = x.xq
+            kq, out_scale = _quantize_weights(kernel, x.sx)
+            dn = jax.lax.conv_dimension_numbers(xq.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
+            acc = jax.lax.conv_general_dilated(
+                xq, kq, window_strides=self.strides, padding=self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * out_scale
+            if self.use_bias:
+                y = y + self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            return y.astype(self.dtype)
         x_f = x.astype(jnp.float32)
-        static_here = (_STATIC and not self.is_initializing()
-                       and self.has_variable("quant_scales", "amax"))
-        if static_here:
-            # Calibrated per-input-channel scales, read from the session's
-            # variable tree (runtime input — recalibration never retraces).
+        amax_c = None
+        if _STATIC and not self.is_initializing() \
+                and self.has_variable("quant_scales", "amax"):
+            amax_c = self.get_variable("quant_scales", "amax")
+        if amax_c is not None:
+            # Calibrated per-input-channel scales — trace-time constants
+            # (const fast path) or read from the session's variable tree
+            # (runtime input — recalibration never retraces).
             # The quantize below is pure elementwise, so XLA fuses it into
             # the producer's epilogue and this conv's input streams through
             # HBM as int8; the [ci] scales fold into the weight quantization
             # so the MAC/rescale are identical to the scalar form.
-            amax_c = self.get_variable("quant_scales", "amax")
-            sx = jnp.maximum(amax_c, 1e-12) * (amax_headroom() / 127.0)  # [ci]
-            # Multiply by the precomputed reciprocal, never divide: the
-            # scales are runtime vectors, so a literal x/sx emits a true
-            # VPU divide per element — measured +17 ms/step over the whole
-            # activation stream vs the constant-scale form (docs/PERF_r5.md).
-            # Computing 1/sx once ([ci] vector) restores the multiply.
-            inv_sx = 1.0 / sx
-            xq = jnp.clip(jnp.round(x_f * inv_sx), -127, 127).astype(jnp.int8)
-            w_eff = kernel * sx[:, None]  # fold activation scales into weights
-            w_scale = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)), 1e-12) / 127.0
-            kq = jnp.clip(jnp.round(w_eff * (1.0 / w_scale)), -127, 127).astype(jnp.int8)
-            out_scale = w_scale  # x-scale already inside w_eff
+            sx = jnp.maximum(jnp.asarray(amax_c), 1e-12) * (amax_headroom() / 127.0)
+            # Multiply by the precomputed reciprocal, never divide (a
+            # runtime-vector x/sx emits a true VPU divide per element).
+            xq = jnp.clip(jnp.round(x_f * (1.0 / sx)), -127, 127).astype(jnp.int8)
+            kq, out_scale = _quantize_weights(kernel, sx)
         else:
             # Dynamic per-tensor scale — one max-reduction over the input
             # per call. Sown per input channel so a calibration pass

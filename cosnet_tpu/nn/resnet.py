@@ -60,13 +60,20 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = _conv(self.planes, 3, self.stride, padding=1, name="conv1", dtype=self.dtype)(x)
+        xs = x
+        if self.has_downsample:
+            # conv1 and downsample_conv consume the same input: quantize it
+            # once (int8-static; no-op otherwise) — nn/quant.py::shared_quantize
+            from cosnet_tpu.nn import quant
+
+            xs = quant.shared_quantize(self, x)
+        out = _conv(self.planes, 3, self.stride, padding=1, name="conv1", dtype=self.dtype)(xs)
         out = _bn("bn1", self.dtype)(out, use_running_average=not train)
         out = nn.relu(out)
         out = _conv(self.planes, 3, padding=1, name="conv2", dtype=self.dtype)(out)
         out = _bn("bn2", self.dtype)(out, use_running_average=not train)
         if self.has_downsample:
-            identity = _conv(self.planes * self.expansion, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = _conv(self.planes * self.expansion, 1, self.stride, name="downsample_conv", dtype=self.dtype)(xs)
             identity = _bn("downsample_bn", self.dtype)(identity, use_running_average=not train)
         return nn.relu(out + identity)
 
@@ -86,7 +93,14 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = _conv(self.planes, 1, self.stride, name="conv1", dtype=self.dtype)(x)
+        xs = x
+        if self.has_downsample:
+            # conv1 and downsample_conv consume the same input: quantize it
+            # once (int8-static; no-op otherwise) — nn/quant.py::shared_quantize
+            from cosnet_tpu.nn import quant
+
+            xs = quant.shared_quantize(self, x)
+        out = _conv(self.planes, 1, self.stride, name="conv1", dtype=self.dtype)(xs)
         out = _bn("bn1", self.dtype)(out, use_running_average=not train)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, dilation=self.dilation, padding=self.dilation, name="conv2", dtype=self.dtype)(out)
@@ -95,7 +109,7 @@ class Bottleneck(nn.Module):
         out = _conv(self.planes * self.expansion, 1, name="conv3", dtype=self.dtype)(out)
         out = _bn("bn3", self.dtype)(out, use_running_average=not train)
         if self.has_downsample:
-            identity = _conv(self.planes * self.expansion, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = _conv(self.planes * self.expansion, 1, self.stride, name="downsample_conv", dtype=self.dtype)(xs)
             identity = _bn("downsample_bn", self.dtype)(identity, use_running_average=not train)
         return nn.relu(out + identity)
 
