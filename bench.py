@@ -41,9 +41,9 @@ H, W = 480, 854
 # the HBM floor folded in — per-op xplane analysis in docs/PERF_r2.md.
 SOL_MS = 146.0
 # int8 speed-of-light: the quantized conv FLOPs run at 2x peak (394 TOPS),
-# the bf16 remainder (conv1 stem, flash co-attention, BN/decode elementwise)
-# does not — derivation from the per-op int8 trace in docs/PERF_r5.md.
-SOL_INT8_MS = 83.0
+# the bf16 remainder (conv1 stems 7.3, flash co-attention 8.6, decode/BN
+# elementwise ~8) does not — derivation table in docs/PERF_r5.md.
+SOL_INT8_MS = 85.0
 
 
 def measure_torch_cpu(iters: int = 2) -> float:

@@ -117,9 +117,17 @@ def min_in_channels() -> int:
 def amax_headroom() -> float:
     """Safety margin on calibrated ranges: activations on frames beyond the
     calibration batches may exceed their max|x|; values past the range clip
-    to ±127 (symmetric clip — graceful, but headroom delays it). Gated end
-    to end by the mask-agreement fingerprint drives."""
-    return float(os.environ.get("COSNET_INT8_HEADROOM", "1.1"))
+    to ±127 (symmetric clip — graceful, but headroom delays it).
+
+    Default 1.0 (exact multi-batch max): headroom was the DOMINANT
+    int8-static drift term — ΔF vs bf16 on the trained-ckpt fingerprint:
+    h1.0 +1.06e-3, h1.05 +6.9e-3, h1.1 +4.58e-3
+    (docs/evidence/INT8_BISECT_r05.json; the non-monotonicity shows the
+    metric's sensitivity to scale perturbation, not a trend). Multi-batch
+    calibration + serve.py's per-job recalibration carry the
+    out-of-distribution risk instead. Applied to the calibrated VALUES
+    (scales_variables), never at trace time, so sweeps reuse the graph."""
+    return float(os.environ.get("COSNET_INT8_HEADROOM", "1.0"))
 
 
 def channel_floor() -> float:
@@ -212,6 +220,7 @@ def scales_variables(amax_flat: dict, drop_pattern: str = None) -> dict:
     rx = re.compile(pattern) if pattern else None
     per_channel = os.environ.get("COSNET_INT8_PER_CHANNEL", "1") != "0"
     floor = channel_floor()
+    headroom = amax_headroom()
     tree = {}
     for path, arr in amax_flat.items():
         if rx is not None and rx.search(path):
@@ -221,10 +230,12 @@ def scales_variables(amax_flat: dict, drop_pattern: str = None) -> dict:
             a = np.asarray(a.max() if a.size else 0.0, np.float32)  # shape ()
         elif a.size and a.max() > 0:
             a = np.maximum(a, floor * a.max())
+        # headroom folds into the VALUES here (not a trace-time constant in
+        # QuantConv) so COSNET_INT8_HEADROOM sweeps reuse the compiled graph
         node = tree
         for part in path.split("/"):
             node = node.setdefault(part, {})
-        node["amax"] = a
+        node["amax"] = a * headroom
     return tree
 
 
@@ -285,8 +296,8 @@ def shared_quantize(mod: nn.Module, x, name: str = "amax"):
         return x
     x_f = x.astype(jnp.float32)
     if _STATIC and mod.has_variable("quant_scales", name):
-        amax_c = mod.get_variable("quant_scales", name)
-        sx = jnp.maximum(amax_c, 1e-12) * (amax_headroom() / 127.0)
+        amax_c = mod.get_variable("quant_scales", name)  # headroom pre-folded
+        sx = jnp.maximum(amax_c, 1e-12) * (1.0 / 127.0)
         xq = jnp.clip(jnp.round(x_f * (1.0 / sx)), -127, 127).astype(jnp.int8)
         return QuantizedActivation(xq, sx)
     amax_ch = jnp.max(jnp.abs(x_f), axis=tuple(range(x_f.ndim - 1)))
@@ -358,7 +369,7 @@ class QuantConv(nn.Module):
             # the producer's epilogue and this conv's input streams through
             # HBM as int8; the [ci] scales fold into the weight quantization
             # so the MAC/rescale are identical to the scalar form.
-            sx = jnp.maximum(jnp.asarray(amax_c), 1e-12) * (amax_headroom() / 127.0)
+            sx = jnp.maximum(jnp.asarray(amax_c), 1e-12) * (1.0 / 127.0)  # headroom pre-folded
             # Multiply by the precomputed reciprocal, never divide (a
             # runtime-vector x/sx emits a true VPU divide per element).
             xq = jnp.clip(jnp.round(x_f * (1.0 / sx)), -127, 127).astype(jnp.int8)

@@ -54,8 +54,10 @@ MODES = {
                        "--frame-pool", "256", "--device-metrics"],
 }
 # the device-staging modes are sbmrgbd-only (runner gates them); the ori
-# family drives the numerics modes
-ORI_MODES = {k: MODES[k] for k in ("f32_host", "bf16_host", "int8", "int8_static")}
+# family drives the numerics modes (dynamic int8 omitted: its math is
+# model-agnostic and the raa row already gates it — saves one ~25 min
+# cold compile through the tunnel)
+ORI_MODES = {k: MODES[k] for k in ("f32_host", "bf16_host", "int8_static")}
 
 
 def eval_mode(dataset: str, model: str, tree: str, pth: str, extra) -> tuple:

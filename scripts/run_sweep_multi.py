@@ -34,7 +34,7 @@ from make_sweep_tree import build as build_sbm  # noqa: E402
 EVIDENCE = os.path.join(REPO, "docs", "evidence")
 
 
-def make_workdir(sbm_tree, hzfu_tree, davis_tree, ckpt=None) -> str:
+def make_workdir(sbm_tree, hzfu_tree, davis_tree, ckpt=None, ori_ckpt=None) -> str:
     with open(os.path.join(REPO, "config.yaml")) as f:
         config = yaml.safe_load(f)
     t = config["test"]["dataset"]
@@ -45,6 +45,9 @@ def make_workdir(sbm_tree, hzfu_tree, davis_tree, ckpt=None) -> str:
     t["davis"]["subset_file"] = os.path.join(davis_tree, "val_seqs.txt")
     if ckpt:  # raa only: other models have different param trees
         config["test"]["model"]["resnet_aspp_add"]["pretrained_params"] = ckpt
+    if ori_ckpt:  # trained RGB-only ckpt (scripts/train_synth_ckpt.py --ori)
+        config["test"]["model"].setdefault("original_coattention_rgb", {})[
+            "pretrained_params"] = ori_ckpt
     workdir = tempfile.mkdtemp(prefix="cosnet_msweep_")
     with open(os.path.join(workdir, "config.yaml"), "w") as f:
         yaml.safe_dump(config, f)
@@ -68,8 +71,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch_size", default="8")
-    ap.add_argument("--ckpt", default="", help="pretrained .pth for every model")
-    ap.add_argument("--tag", default="r04")
+    ap.add_argument("--ckpt", default="", help="pretrained .pth for the raa model")
+    ap.add_argument("--ori-ckpt", default="/tmp/cosnet_r5_ori_ckpt/snapshot.pth",
+                    help="trained ori .pth for the DAVIS job (r4's fresh-init "
+                         "drive scored F=0.0 — mechanism-only; VERDICT r4 #3)")
+    ap.add_argument("--tag", default="r05")
     ap.add_argument("--skip-davis", action="store_true")
     args = ap.parse_args()
 
@@ -79,7 +85,9 @@ def main():
     davis = build_davis("/tmp/cosnet_davis_tree")
     os.makedirs(EVIDENCE, exist_ok=True)
 
-    workdir = make_workdir(sbm, hzfu, davis, ckpt=args.ckpt or None)
+    ori_ckpt = args.ori_ckpt if os.path.isfile(args.ori_ckpt) else None
+    workdir = make_workdir(sbm, hzfu, davis, ckpt=args.ckpt or None,
+                           ori_ckpt=ori_ckpt)
     out = os.path.join(EVIDENCE, f"SWEEP_{args.tag}_multi.json")
     run([sys.executable, os.path.join(REPO, "serve.py"),
          "--datasets", "sbmrgbd,hzfurgbd,hzfud", "--model", "raa",
