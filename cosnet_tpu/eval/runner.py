@@ -751,7 +751,8 @@ def calibrate_static_int8(session: EvalSession, db_calib, batch_size: int,
 def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
                        davis_subset_file: Optional[str] = None,
                        decode_cache_mb: Optional[float] = None,
-                       raw_eval: bool = False, keep_remainder: bool = False):
+                       raw_eval: bool = False, keep_remainder: bool = False,
+                       sample_seed: Optional[int] = None):
     """Dataset for an eval run (test.py:253-255 channel selection rules).
 
     ``keep_remainder=True`` disables the reference's dataset-length
@@ -759,7 +760,14 @@ def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
     ``/root/reference/dataloaders/sbm_rgbd_loader.py:584-585`` — at batch 8
     a 7-frame challenge scores ZERO frames). test.py preserves the quirk
     (eval contract); serve.py opts out so sweep jobs score every frame —
-    the runner pads short batches back to the compiled batch geometry."""
+    the runner pads short batches back to the compiled batch geometry.
+
+    ``sample_seed``: seed the counterpart-frame sampling (derived RNG).
+    Default None preserves the reference's UNSEEDED test-time sampling
+    quirk — but int8-static calibration AMPLIFIES that randomness (random
+    calibration counterparts shift every activation range ~1 %, moving
+    all quantization grids: identical drives measured IoU swings of 0.02,
+    round-5 finding), so numerics-gate harnesses must pass a seed."""
     from cosnet_tpu.data import HzfuRgbdDataset, SbmRgbdDataset
 
     channels_target, channels_cp = "rgbdt", "rgbd"
@@ -780,6 +788,7 @@ def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
         subset_percentage=1,
         subset=ds_cfg.subset,
         decode_cache_mb=decode_cache_mb,
+        seed=sample_seed,
     )
     if raw_eval and dataset != "sbmrgbd":
         # HZFU depth is a float .mat (not losslessly u8-shippable); DAVIS
@@ -800,5 +809,6 @@ def build_test_dataset(dataset: str, ds_cfg, batch_size: int,
             batch_size=1 if keep_remainder else batch_size,
             subset_file=davis_subset_file,
             decode_cache_mb=decode_cache_mb,
+            seed=sample_seed,
         )
     raise SystemExit("dataset error")

@@ -81,9 +81,13 @@ def eval_mode(dataset: str, model: str, tree: str, pth: str, extra) -> tuple:
         yaml.safe_dump(config, f)
     existing = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ, PYTHONPATH=f"{REPO}:{existing}" if existing else REPO)
+    # --sample-seed: unseeded counterpart sampling is a preserved reference
+    # quirk, but int8-static calibration amplifies it into global scale
+    # shifts (0.02 IoU swings across identical drives) — numerics gates
+    # must pin the sampling.
     cmd = [sys.executable, os.path.join(REPO, "test.py"), "--dataset", dataset,
            "--model", model, "--batch_size", "8", "--no-shuffle",
-           "--save_seg_img", ""] + list(extra)
+           "--sample-seed", "7", "--save_seg_img", ""] + list(extra)
     print("+", " ".join(cmd), "  [workdir", workdir + "]", flush=True)
     proc = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True,
                           text=True, timeout=5400)
@@ -113,15 +117,20 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--skip-ori", action="store_true")
     ap.add_argument("--skip-raa", action="store_true")
+    ap.add_argument("--modes", default="",
+                    help="comma-separated subset of modes to drive (default all)")
     ap.add_argument("--out", default=os.path.join(EVIDENCE, "FINGERPRINTS_r05.json"))
     args = ap.parse_args()
 
+    modes = MODES
+    if args.modes:
+        modes = {k: MODES[k] for k in args.modes.split(",")}
     report = {}
     if not args.skip_raa:
         pth = ensure_checkpoint(args.epochs)
         print("raa checkpoint:", pth, flush=True)
         drive_family("raa_sbmrgbd", "sbmrgbd", "raa", "/tmp/cosnet_bench_sbm",
-                     pth, MODES, report)
+                     pth, modes, report)
     if not args.skip_ori:
         from make_aux_trees import build_davis
 

@@ -56,6 +56,10 @@ def get_arguments():
     p.add_argument("--shuffle", action="store_true",
                    help="Sweeps default to deterministic order (unlike test.py, "
                         "which preserves the reference's shuffle quirk).")
+    p.add_argument("--sample-seed", type=int, default=None,
+                   help="Seed counterpart-frame sampling (see test.py --sample-seed; "
+                        "int8-static calibration amplifies unseeded sampling into "
+                        "global scale shifts).")
     p.add_argument("--out", default="", help="Write the sweep summary JSON here.")
     return p.parse_args()
 
@@ -148,7 +152,8 @@ def main():
         db = build_test_dataset(dataset, ds_cfg, args.batch_size,
                                 davis_subset_file=davis_subset_file,
                                 raw_eval=args.device_preprocess,
-                                keep_remainder=True)
+                                keep_remainder=True,
+                                sample_seed=args.sample_seed)
         if args.quantize == "int8-static":
             from cosnet_tpu.eval.runner import calibrate_static_int8
             from cosnet_tpu.nn.quant import amax_headroom
@@ -162,7 +167,7 @@ def main():
             calib_db = db if not args.device_preprocess else build_test_dataset(
                 dataset, ds_cfg, args.batch_size,
                 davis_subset_file=davis_subset_file, raw_eval=False,
-                keep_remainder=True)
+                keep_remainder=True, sample_seed=args.sample_seed)
             amax = calibrate_static_int8(session, calib_db, args.batch_size)
             if prev_amax is not None:
                 # clip telemetry: sites whose NEW observed range exceeds the

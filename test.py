@@ -61,6 +61,13 @@ def get_arguments():
                              "for reproducible sweeps.")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="Disable double-buffered device prefetch (debugging).")
+    parser.add_argument("--sample-seed", type=int, default=None,
+                        help="Seed the counterpart-frame sampling (derived RNG). "
+                             "Default None keeps the reference's unseeded test-time "
+                             "sampling quirk; numerics gates pass a seed — int8-static "
+                             "calibration amplifies counterpart randomness into global "
+                             "scale shifts (0.02 IoU swings measured across identical "
+                             "unseeded drives, docs/PERF_r5.md).")
     parser.add_argument("--quantize", default="", choices=["", "int8", "int8-static"],
                         help="Run the trunk/ASPP convs in int8 on the MXU (s8xs8->s32, "
                              "dynamic per-tensor activation scales, per-channel weight "
@@ -175,7 +182,8 @@ def main():
         print(f"=====> eval sweep data-parallel over {session.mesh.devices.size} chip(s)")
 
     db_test = build_test_dataset(args.dataset, ds_cfg, batch_size, davis_subset_file,
-                                 raw_eval=args.device_preprocess)
+                                 raw_eval=args.device_preprocess,
+                                 sample_seed=args.sample_seed)
     print("======> test set size:", len(db_test) // batch_size)
 
     if args.quantize == "int8-static":
@@ -184,7 +192,8 @@ def main():
         # Calibrate on the first HOST-PATH batches (raw mode stages uint8, so
         # it builds a float twin of the dataset just for these batches).
         calib_db = db_test if not args.device_preprocess else build_test_dataset(
-            args.dataset, ds_cfg, batch_size, davis_subset_file, raw_eval=False)
+            args.dataset, ds_cfg, batch_size, davis_subset_file, raw_eval=False,
+            sample_seed=args.sample_seed)
         amax = calibrate_static_int8(session, calib_db, batch_size)
         print(f"=====> calibrated {len(amax)} int8 conv sites "
               f"(per-input-channel scales)")
